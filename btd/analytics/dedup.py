@@ -1,0 +1,32 @@
+"""Remove duplicate triples (reference problem 5).
+
+problems/RemoveDuplicateTriples.java:27-78: context is cleared before
+the shuffle (:43 — a manual column prune) and triple identity is
+``(s,p,o)`` per RDFStatement.compareTo (RDFStatement.java:104-120,
+context excluded). Here: column pruning is free (Catalyst) and the
+group-to-drop job is ``dropDuplicates``.
+
+Serialization parity: the golden output lines are ``s p o  .`` with a
+double space (RDFStatement.toString, :139-142, with cleared context) —
+:func:`btd.parse.to_nquad_lines` reproduces that byte shape. Row order
+in the reference is descending (s,p,o) from its inverted compareTo;
+our output is order-insensitive, with an optional sort for byte-diffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def remove_duplicate_triples(triples: DataFrame, sorted_output: bool = False) -> DataFrame:
+    """Distinct (subject, predicate, object); context dropped."""
+    out = triples.select("subject", "predicate", "object").dropDuplicates(
+        ["subject", "predicate", "object"]
+    )
+    if sorted_output:
+        # Reference emits descending (s,p,o) — inverted compareTo.
+        out = out.orderBy(
+            F.desc("subject"), F.desc("predicate"), F.desc("object")
+        )
+    return out

@@ -1,0 +1,80 @@
+"""N-quad line → triples DataFrame, pure Catalyst expressions.
+
+Re-derives the reference's regex parse-and-drop semantics
+(/root/reference/src/ponzi/federico/bdc/utils/RDFStatement.java:22,54-67)
+as JVM-side ``rlike`` + ``regexp_extract`` — no Python in the hot path.
+Non-matching lines are dropped, not errors (the reference logs them;
+we expose the count via :func:`parse_metrics`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The reference pattern (RDFStatement.java:22) with named groups turned
+# into numbered ones; alternative ORDER is semantic (a typed literal
+# "v"^^<t> falls through alternative 2 to alternative 4 and is captured
+# whole, including the ^^<type> suffix). Group 4 here excludes the
+# trailing space the reference's (?<source>...\ )? group kept — the
+# space never reaches field values either way.
+NQUAD_REGEX = (
+    r"(<[^>]+>|[a-zA-Z0-9_:]+) "
+    r"(<[^ ]+>) "
+    r'(<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) '
+    r"(?:(<[^>]+>) )?\."
+)
+
+
+def parse_nquads(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a DataFrame of raw n-quad lines into ``triples(s,p,o,ctx)``.
+
+    Mirrors ``RDFStatement.updateFromLine`` + ``setAll``
+    (RDFStatement.java:54-76): invalid lines dropped, absent context
+    becomes ``''``. Java ``find()`` = unanchored search = ``rlike``.
+    """
+    v = F.col(value_col)
+    return (
+        lines.where(v.rlike(NQUAD_REGEX))
+        .select(
+            F.regexp_extract(v, NQUAD_REGEX, 1).alias("subject"),
+            F.regexp_extract(v, NQUAD_REGEX, 2).alias("predicate"),
+            F.regexp_extract(v, NQUAD_REGEX, 3).alias("object"),
+            F.regexp_extract(v, NQUAD_REGEX, 4).alias("context"),
+        )
+    )
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Scan text/gz n-quad files → triples DF (operator S1+S2).
+
+    Gzip is decoded transparently; like the reference
+    (report/report.md:539-552) one .gz file = one input split, so at
+    scale prefer many files or decompress-then-repartition.
+    """
+    return parse_nquads(spark.read.text(path))
+
+
+def parse_metrics(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """One-pass matched/dropped line counters (the reference's log-and-
+    drop policy, RDFStatement.java:57-66, as a metric instead)."""
+    ok = F.col(value_col).rlike(NQUAD_REGEX)
+    return lines.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("parsed"),
+        F.sum(F.when(ok, 0).otherwise(1)).alias("dropped"),
+    )
+
+
+def to_nquad_lines(triples: DataFrame, clear_context: bool = True) -> DataFrame:
+    """Serialize triples back to n-quad lines (operator F6).
+
+    Reproduces the reference's ``"%s %s %s %s ."`` format
+    (RDFStatement.java:139-142) — with a cleared context this yields the
+    double-space ``s p o  .`` shape the dedup job's golden output has.
+    """
+    ctx = F.lit("") if clear_context else F.col("context")
+    return triples.select(
+        F.format_string(
+            "%s %s %s %s .", "subject", "predicate", "object", ctx
+        ).alias("value")
+    )

@@ -1,0 +1,55 @@
+"""SparkSession builder tuned for this engine.
+
+Local mode here stands in for a multi-executor cluster: the confs below
+(AQE, skew-join splitting, Arrow batching, shuffle partitions ≈ cores)
+are exactly what we'd ship to a 1000-executor job; only master/memory
+are sandbox-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "btd",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: parallelism for local mode (``local[cores]``); default
+    ``$SPARK_GRAFT_CPUS`` or ``*``. On a real cluster this builder is
+    used with ``spark-submit --py-files`` and master comes from the
+    submit environment — the SQL confs are cluster-valid as-is.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or None
+    master = f"local[{cores}]" if cores else "local[*]"
+    shuffle_partitions = shuffle_partitions or (cores or os.cpu_count() or 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-join splitting — the explicit
+        # skew story for hot entities (SURVEY.md §4: power-law degree,
+        # max outdegree 1.4M in the reference data).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas-UDF boundary (input_hint: vectorized
+        # pandas/Arrow UDFs, no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamps for the DuckDB oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("BTD_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

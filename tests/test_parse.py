@@ -1,0 +1,87 @@
+"""Parser golden tests against the reference's own fixture
+(/root/reference/assets/sample.txt, 63 n-quad lines) and the synthetic
+raw-text twin (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import collections
+
+from btd.fixtures import gen_triples, to_lines
+from btd.parse import parse_metrics, parse_nquads, read_nquads, to_nquad_lines
+
+SAMPLE = "/root/reference/assets/sample.txt"
+
+
+def test_sample_txt_all_lines_parse(spark):
+    df = read_nquads(spark, SAMPLE)
+    assert df.count() == 63
+
+
+def test_sample_txt_distinct_subjects(spark):
+    # report/report.md:161-192: 9 distinct subjects in sample.txt
+    df = read_nquads(spark, SAMPLE)
+    assert df.select("subject").distinct().count() == 9
+
+
+def test_sample_txt_outdegree_histogram(spark):
+    # FIXTURES.md golden: {1:1, 6:6, 12:1, 14:1} on the 63-line file
+    from btd.analytics import outdegree_histogram
+
+    df = read_nquads(spark, SAMPLE)
+    hist = {r["degree"]: r["n_nodes"] for r in outdegree_histogram(df).collect()}
+    assert hist == {1: 1, 6: 6, 12: 1, 14: 1}
+
+
+def test_sample_txt_field_shapes(spark):
+    rows = read_nquads(spark, SAMPLE).collect()
+    for r in rows:
+        assert r.subject.startswith("<") or r.subject.startswith("_:")
+        assert r.predicate.startswith("<") and r.predicate.endswith(">")
+        assert r.context == "" or (
+            r.context.startswith("<") and r.context.endswith(">")
+        )
+
+
+def test_typed_literal_captured_whole(spark):
+    line = (
+        '_:b1 <http://p> "1999-02-24"^^<http://www.w3.org/2001/XMLSchema#date> '
+        "<http://ctx> ."
+    )
+    df = parse_nquads(spark.createDataFrame([(line,)], "value string"))
+    r = df.collect()[0]
+    assert r.object == '"1999-02-24"^^<http://www.w3.org/2001/XMLSchema#date>'
+    assert r.context == "<http://ctx>"
+
+
+def test_malformed_lines_dropped_and_counted(spark):
+    rows = gen_triples(200, seed=7)
+    lines = to_lines(rows, malformed_every=10, seed=7)
+    n_bad = len(lines) - len(rows)
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    assert parse_nquads(df).count() == len(rows)
+    m = parse_metrics(df).collect()[0]
+    assert m["parsed"] == len(rows)
+    assert m["dropped"] == n_bad
+
+
+def test_roundtrip_parse_serialize(spark):
+    rows = gen_triples(300, seed=11)
+    lines = to_lines(rows)
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    parsed = parse_nquads(df)
+    got = sorted(
+        (r.subject, r.predicate, r.object, r.context) for r in parsed.collect()
+    )
+    assert got == sorted(rows)
+    # serialize with context cleared: double-space golden shape
+    out = to_nquad_lines(parsed).collect()
+    assert all(l.value.endswith("  .") for l in out)
+
+
+def test_empty_context_roundtrip_matches_python_oracle(spark):
+    rows = gen_triples(500, seed=13)
+    ctx_counter = collections.Counter(c == "" for *_, c in rows)
+    lines = to_lines(rows)
+    df = parse_nquads(spark.createDataFrame([(l,) for l in lines], "value string"))
+    got = collections.Counter(r.context == "" for r in df.collect())
+    assert got == ctx_counter
