@@ -13,7 +13,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from btd import analytics as A
+from btd.extract.derive import TRANSCRIPTS_SQL, transcripts_from_events
+from btd.extract.mentions import detect_mentions
+from btd.extract.relations import extract_triples
+from btd.extract.turns import ordered_turns
+from btd.link.canonical import connected_components
 from btd.star import EDGES_SQL, edges
 
 SF0001 = "/root/testdata/sf0.001"
@@ -64,8 +72,70 @@ def _q_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return A.remove_duplicate_triples(edges(spark, sf))
 
 
+# --------------------------------------------------------------------------
+# north-rule KG construction stages over transcripts derived from events
+# --------------------------------------------------------------------------
+
+
+def _q_kg_turn_order(spark: SparkSession, sf: str) -> DataFrame:
+    tx = transcripts_from_events(spark, sf)
+    return ordered_turns(tx).select(
+        "conv_id", "turn_idx", "turn_rank", "role", "tool", "text"
+    )
+
+
+def _q_kg_extract(spark: SparkSession, sf: str) -> DataFrame:
+    return extract_triples(transcripts_from_events(spark, sf))
+
+
+def _q_kg_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    tx = transcripts_from_events(spark, sf)
+    surfaces = [
+        r[0]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    ]
+    return detect_mentions(tx.where(F.col("text").like("% uses %")), surfaces)
+
+
+def _q_kg_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative connected components on a chain graph built from
+    nations: consecutive nations of a region are linked, so components
+    == regions (diameter ~4 exercises >1 CC iteration)."""
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    nid = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    nodes = nation.select(nid.alias("entity_id"))
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges_df = (
+        nation.select(
+            nid.alias("id_b"), F.lag(nid).over(w).alias("id_a")
+        )
+        .where(F.col("id_a").isNotNull())
+    )
+    return connected_components(nodes, edges_df)
+
+
+def _q_kg_outdegree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference analysis reproduced over the north-rule KG output
+    (north_star: 'reproduces the original repo's analyses as Spark SQL
+    jobs' on the constructed graph)."""
+    tri = extract_triples(transcripts_from_events(spark, sf)).select(
+        F.col("subj").alias("subject"),
+        F.col("pred").alias("predicate"),
+        F.col("obj").alias("object"),
+    )
+    return A.outdegree_histogram(tri)
+
+
 def queries() -> dict[str, QueryFn]:
     return {
+        "kg_turn_order": _q_kg_turn_order,
+        "kg_extract_triples": _q_kg_extract,
+        "kg_mentions": _q_kg_mentions,
+        "kg_components": _q_kg_components,
+        "kg_outdegree_histogram": _q_kg_outdegree_hist,
         "ref_distinct_subjects": _q_distinct,
         "ref_outdegree_histogram": _q_outdegree_hist,
         "ref_indegree_histogram": _q_indegree_hist,
@@ -79,7 +149,41 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     e = f"WITH edges AS ({EDGES_SQL})"
+    tx = f"WITH tx AS ({TRANSCRIPTS_SQL})"
     return {
+        "kg_turn_order": f"""{tx}
+            SELECT conv_id, turn_idx,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx) AS INTEGER) AS turn_rank,
+                   role, tool, text
+            FROM tx""",
+        "kg_extract_triples": f"""{tx}
+            SELECT split_part(text, ' ', 1) AS subj,
+                   CASE WHEN text LIKE '% uses %' THEN 'uses'
+                        ELSE 'met_with' END AS pred,
+                   CASE WHEN text LIKE '% uses %'
+                        THEN substr(text, strpos(text, ' uses ') + 6,
+                                    length(text) - strpos(text, ' uses ') - 6)
+                        ELSE substr(text, strpos(text, ' met with ') + 10,
+                                    length(text) - strpos(text, ' met with ') - 10)
+                   END AS obj,
+                   conv_id, turn_idx
+            FROM tx""",
+        "kg_mentions": f"""{tx}
+            SELECT conv_id, turn_idx, tool AS surface,
+                   CAST(strpos(text, tool) - 1 AS INTEGER) AS start,
+                   CAST(strpos(text, tool) - 1 + length(tool) AS INTEGER) AS "end"
+            FROM tx WHERE text LIKE '% uses %'""",
+        "kg_components": """
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS entity_id,
+                   MIN('n' || CAST(n_nationkey AS VARCHAR))
+                       OVER (PARTITION BY n_regionkey) AS canonical_id
+            FROM nation""",
+        "kg_outdegree_histogram": """
+            WITH deg AS (SELECT CAST(COUNT(*) AS BIGINT) AS degree
+                         FROM events GROUP BY user_id)
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree""",
         "ref_distinct_subjects": f"""{e}
             SELECT CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_distinct_subjects
             FROM edges""",

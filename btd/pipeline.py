@@ -1,0 +1,114 @@
+"""End-to-end KG construction pipeline (north rule): transcripts →
+extraction → linking → canonicalization → materialized graph, with
+checkpoint-resumable stage boundaries.
+
+Stage graph (each stage = one materialized output + manifest):
+  1. triples_raw   — pandas-UDF relation extraction (narrow)
+  2. mentions      — pandas-UDF mention spans (narrow)
+  3. same_as       — LSH blocking self-join + batched scoring
+  4. entities      — connected components + canonical-ID election
+  5. kg_triples    — triples with canonicalized subj/obj, partitioned
+
+Rerunning run() skips any stage whose manifest is present — the
+"resumable from checkpoint with per-partition lineage" contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from btd.extract.mentions import detect_mentions
+from btd.extract.relations import extract_triples
+from btd.link.blocking import candidate_pairs
+from btd.link.canonical import canonicalize_entities
+from btd.link.scoring import score_candidates
+from btd.materialize import read_stage, stage_complete, write_stage
+
+
+def run(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    score_threshold: float = 0.6,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Run all stages; returns {stage: DataFrame} of stage outputs."""
+    paths = {
+        s: os.path.join(out_dir, s)
+        for s in ("triples_raw", "mentions", "same_as", "entities", "kg_triples")
+    }
+
+    def stage(name: str, build) -> DataFrame:
+        if force or not stage_complete(paths[name]):
+            write_stage(build(), paths[name], stage=name, partition_by=None)
+        return read_stage(spark, paths[name])
+
+    triples_raw = stage("triples_raw", lambda: extract_triples(transcripts))
+
+    # mention surfaces: union of extraction-observed subj/obj surfaces
+    def _mentions() -> DataFrame:
+        surfaces = [
+            r["s"]
+            for r in triples_raw.select(
+                F.explode(F.array("subj", "obj")).alias("s")
+            )
+            .distinct()
+            .collect()
+        ]
+        return detect_mentions(transcripts, surfaces or ["<none>"])
+
+    mentions = stage("mentions", _mentions)
+
+    def _entities_raw() -> DataFrame:
+        return (
+            triples_raw.select(F.col("subj").alias("surface"))
+            .unionByName(triples_raw.select(F.col("obj").alias("surface")))
+            .distinct()
+            .withColumn("entity_id", F.col("surface"))
+        )
+
+    def _same_as() -> DataFrame:
+        ents = _entities_raw()
+        pairs = candidate_pairs(ents)
+        return score_candidates(pairs, ents, threshold=score_threshold)
+
+    same_as = stage("same_as", _same_as)
+
+    def _entities() -> DataFrame:
+        return canonicalize_entities(_entities_raw(), same_as)
+
+    entities = stage("entities", _entities)
+
+    def _kg() -> DataFrame:
+        subj_map = entities.select(
+            F.col("surface").alias("subj"),
+            F.col("canonical_id").alias("subj_id"),
+        )
+        obj_map = entities.select(
+            F.col("surface").alias("obj"), F.col("canonical_id").alias("obj_id")
+        )
+        # entity dictionary ≪ triples at scale → broadcast both maps
+        return (
+            triples_raw.join(F.broadcast(subj_map), "subj")
+            .join(F.broadcast(obj_map), "obj")
+            .select(
+                F.col("subj_id").alias("subj"),
+                "pred",
+                F.col("obj_id").alias("obj"),
+                "conv_id",
+                "turn_idx",
+            )
+        )
+
+    kg_triples = stage("kg_triples", _kg)
+
+    return {
+        "triples_raw": triples_raw,
+        "mentions": mentions,
+        "same_as": same_as,
+        "entities": entities,
+        "kg_triples": kg_triples,
+    }
