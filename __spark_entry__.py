@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from btd import analytics as A
+from btd.dataops.contract import oracle_sql_dataops, queries_dataops
 from btd.extract.derive import TRANSCRIPTS_SQL, transcripts_from_events
 from btd.extract.mentions import detect_mentions
 from btd.extract.relations import extract_triples
@@ -144,6 +145,7 @@ def queries() -> dict[str, QueryFn]:
         "ref_distinct_contexts": _q_distinct_contexts,
         "ref_top_contexts": _q_top_contexts,
         "ref_dedup": _q_dedup,
+        **queries_dataops(),
     }
 
 
@@ -219,4 +221,5 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "ref_dedup": f"""{e}
             SELECT DISTINCT subject, predicate, object FROM edges""",
+        **oracle_sql_dataops(),
     }

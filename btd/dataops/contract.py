@@ -1,0 +1,275 @@
+"""Driver-contract wiring for the training-data ops: queries() entries
+plus DuckDB oracle twins (merged into __spark_entry__).
+
+Near-dup queries plant duplicates IN-QUERY (union of documents with
+perturbed/exact copies) because the raw testdata documents are all
+distinct — the plant is expressed identically in Spark and SQL, so the
+oracle stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from btd.dataops.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    simhash_near_dup,
+)
+from btd.dataops.similarity import (
+    blas_topk,
+    brute_force_topk,
+    cosine_near_dup,
+    lsh_topk,
+)
+from btd.dataops.textstats import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+# ---------------------------------------------------------------- inputs
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+
+def docs_with_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ near-copies (first word dropped, id+100000 for
+    doc_id%10=0) ∪ exact copies (id+200000 for doc_id%20=0)."""
+    base = _docs(spark, sf)
+    near = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    exact = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+DOCS_PLUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+"""
+
+#: shared SQL fragments for the shingle/minhash oracle
+_SHINGLES_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_plus),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                  range(0, greatest(len(t) - 3, 0) + 1),
+                  i -> concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]))) AS s
+       FROM toks)
+"""
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_exact_dedup(spark, sf):
+    return exact_dedup(docs_with_dups(spark, sf))
+
+
+def _q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(docs_with_dups(spark, sf), 0.5)
+
+
+def _q_minhash_near_dup(spark, sf):
+    return minhash_near_dup(docs_with_dups(spark, sf), 0.5)
+
+
+def _q_simhash_near_dup(spark, sf):
+    return simhash_near_dup(docs_with_dups(spark, sf))
+
+
+def _q_token_stats(spark, sf):
+    return token_stats(_docs(spark, sf))
+
+
+def _q_quality(spark, sf):
+    return quality_scores(_docs(spark, sf))
+
+
+def _q_lang_id(spark, sf):
+    return language_id(_docs(spark, sf))
+
+
+def _q_fingerprints(spark, sf):
+    return fingerprints(_docs(spark, sf))
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _q_emb_near_dup(spark, sf):
+    return cosine_near_dup(_emb(spark, sf), 0.45)
+
+
+def _q_emb_brute_topk(spark, sf):
+    return brute_force_topk(_emb(spark, sf), 3)
+
+
+def _q_emb_lsh_topk(spark, sf):
+    return lsh_topk(_emb(spark, sf), dim=64, k=3)
+
+
+def _q_emb_blas_topk(spark, sf):
+    return blas_topk(_emb(spark, sf), 3)
+
+
+def queries_dataops():
+    return {
+        "doc_exact_dedup": _q_exact_dedup,
+        "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_minhash_near_dup": _q_minhash_near_dup,
+        "doc_simhash_near_dup": _q_simhash_near_dup,
+        "doc_token_stats": _q_token_stats,
+        "doc_quality_scores": _q_quality,
+        "doc_language_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "emb_cosine_near_dup": _q_emb_near_dup,
+        "emb_brute_force_topk": _q_emb_brute_topk,
+        "emb_lsh_topk": _q_emb_lsh_topk,  # no oracle: LSH planes in SQL impractical
+        "emb_blas_topk": _q_emb_blas_topk,
+    }
+
+
+# ---------------------------------------------------------------- oracles
+
+#: normalize-then-dot, element order preserved — the exact float path
+#: of btd.dataops.similarity.normalized/_ndot, so ROUND(.,6) agrees.
+_COSINE_SQL = """
+v AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+                 AS e
+      FROM embeddings),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(a.e, b.e), 6) AS cosine
+          FROM v a, v b)
+"""
+
+
+def oracle_sql_dataops():
+    d = f"WITH docs_plus AS ({DOCS_PLUS_SQL})"
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8)
+    )
+    band_list = ", ".join(
+        f"md5('{b}' || '|' || sig_{2 * b} || '|' || sig_{2 * b + 1})"
+        for b in range(4)
+    )
+    return {
+        "doc_exact_dedup": f"""{d}
+            SELECT md5(text) AS text_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM docs_plus GROUP BY md5(text)""",
+        "doc_ngram_jaccard": f"""{d}, {_SHINGLES_SQL}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                         len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5""",
+        "doc_minhash_near_dup": f"""{d}, {_SHINGLES_SQL},
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sigs AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+            bands AS (SELECT doc_id, unnest([{band_list}]) AS band FROM sigs),
+            cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM bands a JOIN bands b USING (band)
+                      WHERE a.doc_id < b.doc_id)
+            SELECT c.id_a, c.id_b,
+                   ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                         len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+            FROM cands c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+            WHERE ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                        len(list_distinct(list_concat(sa.s, sb.s))), 6) >= 0.5""",
+        # doc_simhash_near_dup: pandas-UDF bit kernel — rows-only check
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS INTEGER)
+                       AS n_bpe_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars_measured
+            FROM documents""",
+        "doc_quality_scores": r"""
+            WITH q AS (SELECT doc_id, text,
+                              len(string_split(text, ' ')) AS n_toks,
+                              len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('a','and','das','de','der','die',
+                                             'el','est','et','is','ist','la',
+                                             'le','of','the','und','y','es')))
+                                  AS n_stop,
+                              length(text) -
+                              length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                                  AS n_punct
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars_measured,
+                   CAST(n_toks AS INTEGER) AS n_tokens,
+                   ROUND(n_stop * 1.0 / n_toks, 6) AS stopword_ratio,
+                   ROUND(n_punct * 1.0 / length(text), 6) AS punct_ratio,
+                   ROUND((length(text) - n_toks + 1) * 1.0 / n_toks, 6)
+                       AS mean_word_len
+            FROM q""",
+        "doc_language_id": """
+            WITH h AS (SELECT doc_id,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('the','a','of','and','is'))) AS h_en,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('el','la','de','y','es'))) AS h_es,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('le','la','de','et','est'))) AS h_fr,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('der','die','das','und','ist'))) AS h_de
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM h""",
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fingerprint
+            FROM documents""",
+        "emb_cosine_near_dup": f"""WITH {_COSINE_SQL}
+            SELECT id_a, id_b, cosine FROM pairs
+            WHERE id_a < id_b AND cosine >= 0.45""",
+        "emb_brute_force_topk": f"""WITH {_COSINE_SQL},
+            ranked AS (SELECT id_a, id_b, cosine,
+                              CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                                   ORDER BY cosine DESC, id_b) AS INTEGER)
+                                  AS rank
+                       FROM pairs WHERE id_a != id_b)
+            SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= 3""",
+        # blas_topk computes the same exact top-k; numpy's pairwise-sum
+        # accumulation can differ from sequential folds in the last ulp,
+        # but ROUND(.,6) absorbs it — verified by the parity suite.
+        "emb_blas_topk": f"""WITH {_COSINE_SQL},
+            ranked AS (SELECT id_a, id_b, cosine,
+                              CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                                   ORDER BY cosine DESC, id_b) AS INTEGER)
+                                  AS rank
+                       FROM pairs WHERE id_a != id_b)
+            SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= 3""",
+    }

@@ -1,0 +1,240 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale notes (the point of each variant):
+- exact: one hash-groupBy on md5(text) — shuffle keyed on digest, no
+  skew (digests are uniform).
+- n-gram Jaccard: exact pairwise similarity via shingle explode +
+  equi-join on shingle — full recall, cost ~ sum of posting-list²; the
+  quadratic baseline you run at small scale to validate the LSH path.
+- MinHash-LSH: signatures in ONE groupBy (k partial mins), banding
+  self-join — the 100 TB path; recall is probabilistic, precision
+  restored by an exact-jaccard filter on candidates only.
+- SimHash: 64-bit fingerprint via vectorized pandas UDF (bit ops are
+  Python/numpy territory), near-dup = equal band keys.
+
+Hashes are md5-derived so the DuckDB oracle can reproduce them
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUM_HASHES = 8
+BAND_SIZE = 2
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: keeper = min doc_id, plus group size."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------- word shingles
+
+
+def word_shingles(col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split({col}, ' ')) - {n}, 0)),"
+            f" i -> concat_ws(' ', element_at(split({col}, ' '), i + 1),"
+            f"                    element_at(split({col}, ' '), i + 2),"
+            f"                    element_at(split({col}, ' '), i + 3)))"
+        )
+    )
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", word_shingles().alias("sh"))
+
+
+# ------------------------------------------------- exact n-gram jaccard
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: explode shingles, self-join on shingle, count
+    shared shingles per pair, then |A∩B| / (|A| + |B| - |A∩B|). Full
+    recall; quadratic in posting-list length — the validation baseline
+    for the LSH variant.
+    """
+    sh = _with_shingles(docs)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------- minhash-LSH
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    ex = _with_shingles(docs).select("doc_id", F.explode("sh").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH banding: candidate pairs sharing >= 1 band key."""
+    sigs = minhash_signatures(docs)
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(bb)),
+                            *[
+                                F.col(f"sig_{bb * BAND_SIZE + r}")
+                                for r in range(BAND_SIZE)
+                            ],
+                        )
+                    )
+                    for bb in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= threshold."""
+    cands = minhash_candidates(docs)
+    sh = _with_shingles(docs)
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # 64-bit SimHash over word tokens; token weights = 1. Bit i of the
+    # fingerprint = sign of sum over tokens of (bit i of md5(token)).
+    # numpy-vectorized per Arrow batch (no per-row Python beyond split).
+    import hashlib
+
+    import numpy as np
+
+    def fp(text: str) -> int:
+        toks = text.split(" ")
+        if not toks:
+            return 0
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+            dtype=">u8",
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(0)
+        v = (bits * 2 > len(hs)).astype(np.uint64)
+        return int((v << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+    for batch in texts:
+        yield batch.map(fp).astype("int64")
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
+
+
+def simhash_near_dup(docs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: equal 16-bit band of the 64-bit simhash in
+    any of 4 bands (classic Hamming-distance blocking)."""
+    fps = simhash_fingerprints(docs)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        (
+                            F.shiftrightunsigned("simhash", i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).cast("string"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )

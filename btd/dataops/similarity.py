@@ -1,0 +1,209 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline — JVM-side dot product
+  via F.zip_with/F.aggregate over a (bucketed) self-join.
+- random-hyperplane LSH buckets: the scale path — each vector hashed to
+  a sign-bit bucket; neighbors searched only within the bucket, so the
+  self-join is equi-keyed (shuffle ∝ bucket sizes, not n²). Hyperplanes
+  are derived deterministically from md5 (no RNG state to ship).
+- embedding-cosine near-dup: threshold variant used by the dedup suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, en): embedding widened to double and L2-normalized ONCE
+    per row — pairwise cosine then costs a single fold instead of
+    dot + two norms (3× fewer interpreted array-lambda evals; array
+    higher-order functions don't enter whole-stage codegen)."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, v: acc + v * v))
+    return emb.select(
+        "vec_id", F.transform(dbl, lambda x: x / nrm).alias("en")
+    )
+
+
+def _ndot(a: str, b: str):
+    """Dot product of two pre-normalized double arrays."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors per vector (excluding self).
+
+    All-pairs self-join over pre-normalized vectors: correct at any
+    scale but O(n²) — the oracle baseline you validate the LSH/BLAS
+    variants against.
+    """
+    from pyspark.sql import Window
+
+    n = normalized(emb)
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("en").alias("e_a"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("en").alias("e_b"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_ndot("e_a", "e_b"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
+def blas_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul against a broadcast
+    normalized matrix — the single-node-fast path (~2 orders faster
+    than the fold-per-pair join). The broadcast side must fit in
+    executor memory (fine up to ~10^7 × 10^2 dims); beyond that,
+    LSH/IVF bucketing (lsh_topk) is the scale path.
+    """
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
+
+    def kernel(batches):
+        import pandas as pd
+
+        all_ids, Mn = b_ids.value, b_m.value
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            S = np.round(q @ Mn.T, 6)
+            out = {"id_a": [], "id_b": [], "cosine": [], "rank": []}
+            for r, qid in enumerate(pdf["vec_id"]):
+                S[r, pos[int(qid)]] = -np.inf  # exclude self
+                order = np.lexsort((all_ids, -S[r]))[:k]
+                out["id_a"].extend([qid] * len(order))
+                out["id_b"].extend(all_ids[order])
+                out["cosine"].extend(S[r, order])
+                out["rank"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(
+        kernel, "id_a long, id_b long, cosine double, rank int"
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: unit-free gaussian-ish
+    values from md5 bytes (Box-Muller-free — sign structure is all LSH
+    needs). Same planes every run, every engine."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"plane{p}:{i}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack(">I", h[off : off + 4])
+                vals.append((u / 2**32) - 0.5)
+            i += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def _plane_dot(plane: list[float]):
+    return F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket(
+    emb: DataFrame, dim: int, n_tables: int = 8, bits: int = 4
+) -> DataFrame:
+    """Explodes each vector into ``n_tables`` bucket keys, each a
+    ``bits``-bit sign signature over its own hyperplane set. Multi-table
+    LSH: a true neighbor missed by one table is caught by another —
+    recall 1-(1-p^bits)^n_tables instead of single-table p^bits."""
+    planes = hyperplanes(dim, n_tables * bits)
+    keys = []
+    for t in range(n_tables):
+        sig_bits = [
+            (_plane_dot(planes[t * bits + i]) > 0).cast("int").cast("string")
+            for i in range(bits)
+        ]
+        keys.append(F.concat_ws("", F.lit(f"{t}:"), *sig_bits))
+    return emb.select(
+        "vec_id", "embedding", F.explode(F.array(*keys)).alias("bucket")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, dim: int, k: int = 5, n_tables: int = 8, bits: int = 4
+) -> DataFrame:
+    """Approximate top-k: brute force WITHIN each LSH bucket, unioned
+    over tables. The self-join is equi-keyed on bucket — at 100 TB this
+    is the difference between an O(n²) cross join and a hash join whose
+    cost tracks bucket sizes (AQE skew-split applies to hot buckets).
+    Candidate pairs are deduplicated across tables BEFORE the cosine so
+    each pair is scored once."""
+    from pyspark.sql import Window
+
+    bucketed = lsh_bucket(emb, dim, n_tables, bits)
+    a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
+    b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    n = normalized(emb)
+    ea = n.select(F.col("vec_id").alias("id_a"), F.col("en").alias("e_a"))
+    eb = n.select(F.col("vec_id").alias("id_b"), F.col("en").alias("e_b"))
+    pairs = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(_ndot("e_a", "e_b"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b)."""
+    n = normalized(emb)
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("en").alias("e_a"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("en").alias("e_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(_ndot("e_a", "e_b"), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

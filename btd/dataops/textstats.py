@@ -1,0 +1,87 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language-ID, document fingerprinting. All pure Catalyst
+expressions (JVM-side, codegen'd) with exact DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: language marker words for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+#: BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
+BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars_measured)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean word length — rounded doubles for oracle stability."""
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^\w\s]", "")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_toks.alias("n_tokens"),
+        F.round(n_stop / n_toks, 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(
+            (F.length("text") - n_toks + 1) / n_toks, 6
+        ).alias("mean_word_len"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word voting: language with the most marker hits; ties and
+    zero hits → 'und'. Deterministic tie-break by language code order."""
+    toks = F.split("text", " ")
+    hits = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(ws)))
+        for lang, ws in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # reversed so the FIRST language in code order wins ties
+    for lang in sorted(hits, reverse=True):
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), lang).otherwise(
+            pred
+        )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — robust to token reordering, the cheap
+    near-dup pre-filter."""
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split("text", " "))), " "
+            )
+        ).alias("fingerprint"),
+    )

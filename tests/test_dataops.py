@@ -1,0 +1,260 @@
+"""Training-data ops vs pure-Python/numpy oracles, with planted
+near-duplicates (the real testdata documents are all distinct)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from btd.dataops.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup,
+)
+from btd.dataops.multimodal import decode_image, extract_features, synthesize_media
+from btd.dataops.similarity import brute_force_topk, cosine_near_dup, lsh_topk
+from btd.dataops.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """sf0.001 documents + planted near-dups: doc_id+10000 drops the
+    first word; doc_id+20000 is an exact copy."""
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    near = base.limit(10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 2, 100000), " "
+        ).alias("text"),
+    )
+    exact = base.limit(5).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    df = base.unionByName(near).unionByName(exact)
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return {r.doc_id: r.text for r in docs.collect()}
+
+
+def _shingles(text, n=3):
+    toks = text.split(" ")
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(spark, docs, docs_pd):
+    out = {r.text_hash: (r.keep_doc_id, r.n_copies) for r in exact_dedup(docs).collect()}
+    groups = {}
+    for did, text in docs_pd.items():
+        h = hashlib.md5(text.encode()).hexdigest()
+        groups.setdefault(h, []).append(did)
+    assert out == {h: (min(ids), len(ids)) for h, ids in groups.items()}
+    assert sum(1 for _, n in out.values() if n > 1) == 5  # planted exacts
+
+
+def _py_jaccard_pairs(docs_pd, threshold):
+    ids = sorted(docs_pd)
+    sh = {i: _shingles(docs_pd[i]) for i in ids}
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sh[a] | sh[b]
+            j = len(sh[a] & sh[b]) / len(u) if u else 0.0
+            if round(j, 6) >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_ngram_jaccard_vs_python(spark, docs, docs_pd):
+    expected = _py_jaccard_pairs(docs_pd, 0.5)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    assert got == expected
+    assert len(got) >= 15  # planted near+exact dups are found
+
+
+def test_minhash_near_dup_precision_and_recall(spark, docs, docs_pd):
+    truth = _py_jaccard_pairs(docs_pd, 0.5)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup(docs, 0.5).collect()
+    }
+    # precision is exact (candidates verified with true jaccard)
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert truth[k] == v
+    # recall: banded minhash with 4 bands x 2 rows at j>=0.5 should
+    # catch nearly everything; require >= 0.9 on the planted dups
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_minhash_candidates_include_exact_dups(spark, docs):
+    cands = {(r.id_a, r.id_b) for r in minhash_candidates(docs).collect()}
+    for i in range(5):
+        assert (i, i + 20000) in cands
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    for i in range(5):  # exact copies → identical fingerprints
+        assert fps[i] == fps[i + 20000]
+    for i in range(10):  # near copies → small hamming distance
+        ham = bin((fps[i] ^ fps[i + 10000]) & (2**64 - 1)).count("1")
+        assert ham <= 8, f"doc {i}: hamming {ham}"
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dup(docs).collect()}
+    for i in range(5):
+        assert (i, i + 20000) in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """sf0.001 embeddings + planted exact-duplicate vectors."""
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = base.limit(3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    df = base.unionByName(dup)
+    df.persist()
+    df.count()
+    return df
+
+
+def _np_embs(emb):
+    rows = emb.collect()
+    return {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+
+def test_brute_force_topk_vs_numpy(spark, emb):
+    vecs = _np_embs(emb)
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    got = {}
+    for r in brute_force_topk(emb, 3).collect():
+        got.setdefault(r.id_a, []).append((r.rank, r.id_b, r.cosine))
+    for ai, a in enumerate(ids):
+        sims = sorted(
+            ((round(S[ai, bi], 6), b) for bi, b in enumerate(ids) if b != a),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        expected = [(rk + 1, b, s) for rk, (s, b) in enumerate(sims)]
+        assert got[a] == expected, f"vec {a}"
+
+
+def test_cosine_near_dup_finds_planted(spark, emb):
+    pairs = {(r.id_a, r.id_b): r.cosine for r in cosine_near_dup(emb, 0.999).collect()}
+    for i in [r.vec_id for r in emb.where(F.col("vec_id") >= 10000).collect()]:
+        assert (i - 10000, i) in pairs
+        assert pairs[(i - 10000, i)] == 1.0
+
+
+def test_lsh_topk_structure_and_recall(spark, emb):
+    brute = {
+        (r.id_a, r.rank): r.id_b for r in brute_force_topk(emb, 1).collect()
+    }
+    approx = {
+        (r.id_a, r.rank): r.id_b for r in lsh_topk(emb, dim=64, k=1).collect()
+    }
+    # planted exact duplicates share every hyperplane sign → same bucket,
+    # so their rank-1 neighbor must match the brute-force answer
+    for i in range(3):
+        assert approx[(i + 10000, 1)] == brute[(i + 10000, 1)]
+    # overall recall@1 is approximate but must be well above chance
+    hits = sum(1 for k in brute if k in approx and approx[k] == brute[k])
+    assert hits / len(brute) >= 0.2
+
+
+def test_token_stats_vs_python(spark, docs, docs_pd):
+    import re
+
+    rx = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    got = {r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens, r.n_chars_measured)
+           for r in token_stats(docs).collect()}
+    for did, text in docs_pd.items():
+        assert got[did] == (
+            len(text.split(" ")),
+            len(rx.findall(text)),
+            len(text),
+        )
+
+
+def test_quality_scores_vs_python(spark, docs, docs_pd):
+    import re
+
+    got = {
+        r.doc_id: (r.n_tokens, r.stopword_ratio, r.punct_ratio)
+        for r in quality_scores(docs).collect()
+    }
+    for did, text in docs_pd.items():
+        toks = text.split(" ")
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        n_punct = len(text) - len(re.sub(r"[^\w\s]", "", text))
+        assert got[did] == (
+            len(toks),
+            round(n_stop / len(toks), 6),
+            round(n_punct / len(text), 6),
+        )
+
+
+def test_language_id_votes(spark, docs, docs_pd):
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    for did, text in docs_pd.items():
+        toks = text.split(" ")
+        hits = {
+            lang: sum(1 for t in toks if t in ws)
+            for lang, ws in LANG_MARKERS.items()
+        }
+        best = max(hits.values())
+        expected = (
+            "und" if best == 0 else min(l for l, h in hits.items() if h == best)
+        )
+        assert got[did] == expected, did
+
+
+def test_fingerprints_order_insensitive(spark, docs):
+    fp = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    assert fp[0] == fp[20000]  # exact copies agree
+    assert len(set(fp.values())) > 1
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = synthesize_media(docs)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r.n_bytes == 16  # md5 digest
+        assert 0 <= r.byte_min <= r.byte_max <= 255
+        assert r.byte_min <= r.byte_mean <= r.byte_max
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
