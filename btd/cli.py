@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("name", choices=sorted(ANALYSES))
     pa.add_argument("--input", required=True)
     pa.add_argument("--output", default=None, help="parquet out dir; default: show")
+    pa.add_argument(
+        "--text-output",
+        default=None,
+        help="gzip text out dir (dedup only): the reference's exact "
+        "'s p o  .' line format (S3/S4 sink)",
+    )
     pa.add_argument("--cores", type=int, default=None)
 
     pk = sub.add_parser("kg-run", help="north-rule KG construction pipeline")
@@ -53,7 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "analyze":
         triples = read_nquads(spark, args.input)
         out = ANALYSES[args.name](triples)
-        if args.output:
+        if args.text_output:
+            if args.name != "dedup":
+                raise SystemExit("--text-output is only for the dedup analysis")
+            from btd.parse import to_nquad_lines
+
+            to_nquad_lines(out).write.mode("overwrite").option(
+                "compression", "gzip"
+            ).text(args.text_output)
+            print(f"wrote {args.text_output}")
+        elif args.output:
             out.write.mode("overwrite").parquet(args.output)
             print(f"wrote {args.output}")
         else:

@@ -180,22 +180,35 @@ def minhash_near_dup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 def _simhash64(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
     # 64-bit SimHash over word tokens; token weights = 1. Bit i of the
     # fingerprint = sign of sum over tokens of (bit i of md5(token)).
-    # numpy-vectorized per Arrow batch (no per-row Python beyond split).
+    # Token hashes are memoized across the whole partition (natural
+    # text has a Zipfian vocabulary — most md5 calls would be repeats)
+    # and the bit-tally is a single numpy pass per document.
     import hashlib
 
     import numpy as np
+
+    memo: dict[str, np.ndarray] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def tok_bits(t: str) -> np.ndarray:
+        b = memo.get(t)
+        if b is None:
+            (h,) = np.frombuffer(
+                hashlib.md5(t.encode()).digest()[:8], dtype=">u8"
+            )
+            b = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            memo[t] = b
+        return b
 
     def fp(text: str) -> int:
         toks = text.split(" ")
         if not toks:
             return 0
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
-            dtype=">u8",
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(0)
-        v = (bits * 2 > len(hs)).astype(np.uint64)
-        return int((v << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+        bits = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            bits += tok_bits(t)
+        v = (bits * 2 > len(toks)).astype(np.uint64)
+        return int((v << shifts).sum().astype(np.int64))
 
     for batch in texts:
         yield batch.map(fp).astype("int64")

@@ -1,0 +1,50 @@
+"""Skew handling for hot keys (north rule: frequent speakers / common
+tools; reference data: power-law degree with max outdegree 1.4M —
+report/report.md:566-581).
+
+Two-level salted aggregation: groupBy(key, salt) partial counts, then
+groupBy(key) final sum — the same math as the reference's combiners
+(Percentages.java:83) but with an explicit fan-out factor for keys so
+hot that even partial aggregation leaves one reducer swamped. For
+joins, AQE skew-split (enabled in btd.session) is preferred; salting
+is for aggregations whose single hot key exceeds a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key: str, n_salts: int = 16, out: str = "cnt"
+) -> DataFrame:
+    """COUNT(*) per key, skew-safe.
+
+    Salt = a deterministic hash of the whole row spread over n_salts
+    buckets (no rand() — reruns must agree). Stage 1 shuffles on
+    (key, salt) so a hot key spreads over n_salts reducers; stage 2
+    shuffles only the n_salts partial rows per key.
+    """
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.select(key, salt)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias(out))
+
+
+def salted_count_distinct(
+    df: DataFrame, key: str, value: str, n_salts: int = 16, out: str = "cnt"
+) -> DataFrame:
+    """COUNT(DISTINCT value) per key, skew-safe: salt by the VALUE hash
+    so duplicates of one value land in the same bucket (stage-1 distinct
+    stays correct), then sum per-bucket distinct counts."""
+    salt = F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.select(key, value, salt)
+        .groupBy(key, "_salt")
+        .agg(F.count_distinct(value).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias(out))
