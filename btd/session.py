@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BTD_DRIVER_MEM", "24g"))
+        # catalog warehouse for bucketed tables (btd.catalog); kept out
+        # of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("BTD_WAREHOUSE", "/tmp/btd_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -62,12 +62,72 @@ def windowed_turn_counts(
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> None:
+def sessionize_stream(transcripts: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization per
+    conversation via ``applyInPandasWithState`` (update mode).
+
+    State per conv_id = the open session (index, count, bounds). Each
+    micro-batch is processed vectorized (pandas diff/cumsum — no
+    per-row Python beyond the final small groupby); closed sessions
+    are emitted once, the open session is re-emitted on every update.
+    This is the operator shape for any custom streaming aggregation
+    Spark lacks natively (north-rule 'custom stateful operators').
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+    out_schema = (
+        "conv_id string, session_idx int, n_turns long, "
+        "start_ts timestamp, end_ts timestamp"
+    )
+    state_schema = "session_idx int, n_turns long, start_ts timestamp, end_ts timestamp"
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            si, n, st_, en = state.get
+            st_, en = pd.Timestamp(st_), pd.Timestamp(en)
+        else:
+            si, n, st_, en = 0, 0, None, None
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values().reset_index(
+            drop=True
+        )
+        rows = []
+        if len(ts):
+            # vectorized session boundaries within the batch
+            new_sess = ts.diff() > gap
+            if en is not None:
+                new_sess.iloc[0] = (ts.iloc[0] - en) > gap
+            sess_of = new_sess.cumsum()
+            for s_off, grp in ts.groupby(sess_of):
+                if s_off == 0 and en is not None:
+                    # continuation of the open session
+                    n += len(grp)
+                    en = grp.iloc[-1]
+                else:
+                    if n:  # close the previous session
+                        rows.append((conv_id, si, n, st_, en))
+                        si += 1
+                    n, st_, en = len(grp), grp.iloc[0], grp.iloc[-1]
+        state.update((int(si), int(n), st_, en))
+        rows.append((conv_id, si, n, st_, en))  # open session, update-mode
+        yield pd.DataFrame(
+            rows,
+            columns=["conv_id", "session_idx", "n_turns", "start_ts", "end_ts"],
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drain all available input synchronously into a memory sink —
     the local smoke path (production uses kafka/iceberg sinks with
     checkpointLocation)."""
     q = (
-        df.writeStream.outputMode("append")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
