@@ -154,6 +154,40 @@ def _q_kg_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(nodes, edges_df)
 
 
+def _kg_entity_table(spark: SparkSession, sf: str) -> DataFrame:
+    tri = extract_triples(transcripts_from_events(spark, sf))
+    return (
+        tri.select(F.col("subj").alias("surface"))
+        .unionByName(tri.select(F.col("obj").alias("surface")))
+        .distinct()
+        .withColumn("entity_id", F.col("surface"))
+    )
+
+
+def _q_kg_same_as(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-linking stage end-to-end: LSH blocking self-join +
+    pandas-UDF scoring. On the derived corpus the surviving edges are
+    exactly the 'crew <type>' ↔ '<type>' alias pairs (score 0.9 from
+    the token-containment rule) — SQL-predictable, hence oracled."""
+    from btd.link.blocking import candidate_pairs
+    from btd.link.scoring import score_candidates
+
+    ents = _kg_entity_table(spark, sf)
+    return score_candidates(candidate_pairs(ents), ents, 0.6)
+
+
+def _q_kg_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """Full linking + canonicalization: connected components over the
+    same-as edges, canonical = min(entity_id) per component."""
+    from btd.link.blocking import candidate_pairs
+    from btd.link.canonical import canonicalize_entities
+    from btd.link.scoring import score_candidates
+
+    ents = _kg_entity_table(spark, sf)
+    same = score_candidates(candidate_pairs(ents), ents, 0.6)
+    return canonicalize_entities(ents, same)
+
+
 def _q_kg_outdegree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Reference analysis reproduced over the north-rule KG output
     (north_star: 'reproduces the original repo's analyses as Spark SQL
@@ -172,6 +206,8 @@ def queries() -> dict[str, QueryFn]:
         "kg_extract_triples": _q_kg_extract,
         "kg_mentions": _q_kg_mentions,
         "kg_components": _q_kg_components,
+        "kg_same_as": _q_kg_same_as,
+        "kg_entities": _q_kg_entities,
         "kg_outdegree_histogram": _q_kg_outdegree_hist,
         "ref_distinct_subjects": _q_distinct,
         "ref_outdegree_histogram": _q_outdegree_hist,
@@ -220,6 +256,36 @@ def oracle_sql() -> dict[str, str]:
                    MIN('n' || CAST(n_nationkey AS VARCHAR))
                        OVER (PARTITION BY n_regionkey) AS canonical_id
             FROM nation""",
+        "kg_same_as": """
+            WITH t_even AS (SELECT DISTINCT event_type FROM events
+                            WHERE event_id % 2 = 0),
+                 t_odd AS (SELECT DISTINCT event_type FROM events
+                           WHERE event_id % 2 = 1)
+            SELECT LEAST(e.event_type, 'crew ' || e.event_type) AS id_a,
+                   GREATEST(e.event_type, 'crew ' || e.event_type) AS id_b,
+                   CAST(0.9 AS DOUBLE) AS score
+            FROM t_even e JOIN t_odd o ON e.event_type = o.event_type""",
+        "kg_entities": """
+            WITH surf AS (
+                SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS s FROM events
+                UNION
+                SELECT DISTINCT event_type AS s FROM events WHERE event_id % 2 = 0
+                UNION
+                SELECT DISTINCT 'crew ' || event_type AS s FROM events
+                WHERE event_id % 2 = 1)
+            SELECT s AS entity_id,
+                   CASE WHEN s LIKE 'crew %'
+                             AND substr(s, 6) IN (SELECT DISTINCT event_type
+                                                  FROM events WHERE event_id % 2 = 0)
+                        THEN LEAST(s, substr(s, 6))
+                        WHEN s IN (SELECT DISTINCT event_type FROM events
+                                   WHERE event_id % 2 = 1)
+                             AND s IN (SELECT DISTINCT event_type FROM events
+                                       WHERE event_id % 2 = 0)
+                        THEN LEAST(s, 'crew ' || s)
+                        ELSE s END AS canonical_id,
+                   s AS surface
+            FROM surf""",
         "kg_outdegree_histogram": """
             WITH deg AS (SELECT CAST(COUNT(*) AS BIGINT) AS degree
                          FROM events GROUP BY user_id)

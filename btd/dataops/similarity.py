@@ -178,14 +178,33 @@ def lsh_topk(
         .select("id_a", "id_b")
         .distinct()
     )
-    n = normalized(emb)
-    ea = n.select(F.col("vec_id").alias("id_a"), F.col("en").alias("e_a"))
-    eb = n.select(F.col("vec_id").alias("id_b"), F.col("en").alias("e_b"))
-    pairs = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", F.round(_ndot("e_a", "e_b"), 6).alias("cosine"))
-    )
+    # score candidates with a vectorized gather-dot against a broadcast
+    # normalized matrix (same ROUND(,6) float path as the BLAS top-k);
+    # the fold-per-pair alternative re-joins two array columns and pays
+    # an interpreted lambda per element
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
+
+    def score(batches):
+        import pandas as pd
+
+        pos = {int(v): i for i, v in enumerate(b_ids.value)}
+        Mn = b_m.value
+        for pdf in batches:
+            ia = pdf["id_a"].map(pos).to_numpy()
+            ib = pdf["id_b"].map(pos).to_numpy()
+            cos = np.round((Mn[ia] * Mn[ib]).sum(axis=1), 6)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    pairs = cand.mapInPandas(score, "id_a long, id_b long, cosine double")
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

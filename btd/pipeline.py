@@ -41,9 +41,21 @@ def run(
         for s in ("triples_raw", "mentions", "same_as", "entities", "kg_triples")
     }
 
+    #: directory partitioning per stage — the "partitioned Iceberg
+    #: triple and entity tables" layout (pred has low cardinality and
+    #: is the dominant query filter on a KG; partition pruning applies)
+    partitioning: dict[str, list[str] | None] = {
+        "kg_triples": ["pred"],
+    }
+
     def stage(name: str, build) -> DataFrame:
         if force or not stage_complete(paths[name]):
-            write_stage(build(), paths[name], stage=name, partition_by=None)
+            write_stage(
+                build(),
+                paths[name],
+                stage=name,
+                partition_by=partitioning.get(name),
+            )
         return read_stage(spark, paths[name])
 
     triples_raw = stage("triples_raw", lambda: extract_triples(transcripts))
