@@ -123,8 +123,39 @@ def _q_emb_lsh_topk(spark, sf):
     return lsh_topk(_emb(spark, sf), dim=64, k=3)
 
 
+def _q_curation(spark, sf):
+    from btd.dataops.curation import curate
+
+    return curate(_docs(spark, sf))
+
+
+def _q_doc_sample(spark, sf):
+    from btd.dataops.curation import deterministic_sample
+
+    return deterministic_sample(
+        _docs(spark, sf).select("doc_id"), "doc_id", 25, method="md5"
+    )
+
+
+def _q_kg_pagerank(spark, sf):
+    """PageRank over the star-schema edge graph — iterative DataFrame
+    joins (rows-only check: fixpoint float iteration isn't one SQL
+    statement; correctness vs numpy in tests/test_graph_curation.py)."""
+    from btd.graph import pagerank
+    from btd.star import edges
+
+    e = edges(spark, sf).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    pr = pagerank(e, n_iter=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def queries_dataops():
     return {
+        "doc_curation": _q_curation,
+        "doc_sample": _q_doc_sample,
+        "kg_pagerank": _q_kg_pagerank,
         "doc_exact_dedup": _q_exact_dedup,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_minhash_near_dup": _q_minhash_near_dup,
@@ -166,6 +197,27 @@ def oracle_sql_dataops():
         for b in range(4)
     )
     return {
+        "doc_curation": r"""
+            WITH q AS (SELECT doc_id, text,
+                              len(string_split(text, ' ')) AS n_toks,
+                              len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('a','and','das','de','der','die',
+                                             'el','est','et','is','ist','la',
+                                             'le','of','the','und','y','es')))
+                                  * 1.0 / len(string_split(text, ' ')) AS sr
+                       FROM documents),
+                 f AS (SELECT doc_id,
+                              md5(array_to_string(list_sort(list_distinct(
+                                  string_split(text, ' '))), ' ')) AS fingerprint
+                       FROM q
+                       WHERE n_toks BETWEEN 50 AND 5000 AND sr <= 0.35)
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint
+            FROM f GROUP BY fingerprint""",
+        "doc_sample": """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                       AS INTEGER) < 64""",
+        # kg_pagerank: rows-only (iterative float fixpoint)
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

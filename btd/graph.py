@@ -1,0 +1,77 @@
+"""Graph analytics over the materialized KG: PageRank as iterated
+DataFrame joins (GraphFrames-style, dependency-free).
+
+Same execution discipline as connected components (btd.link.canonical):
+driver-side fixed-iteration loop, one shuffle per iteration (join ranks
+to out-edges, re-aggregate by destination), ``localCheckpoint`` lineage
+cuts. Dangling nodes (no out-edges) redistribute uniformly, so ranks
+sum to n throughout — the invariant the tests assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """edges(src, dst) → (node, rank); ranks sum to #nodes.
+
+    Duplicate edges count as parallel edges (weight = multiplicity),
+    matching the reference's duplicate-preserving degree semantics.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    # pre-join static structure once; re-used every iteration
+    ew = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
+        .join(out_deg, "node")
+        .localCheckpoint()
+    )
+    # static set of dangling nodes (no out-edges) — computed once
+    dangling_nodes = nodes.join(out_deg, "node", "left_anti").localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contribs = (
+            ew.join(ranks, "node")
+            .groupBy(F.col("dst_node").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
+        )
+        # dangling mass as a lazy 1-row aggregate cross-joined in — no
+        # per-iteration driver action; the checkpoint below is the only
+        # job each iteration runs
+        dm = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("recv"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -122,6 +122,28 @@ def sessionize_stream(transcripts: DataFrame, gap_minutes: int = 30) -> DataFram
     )
 
 
+def stream_materialize_triples(
+    transcripts: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Continuous KG materialization: streaming extraction appended to a
+    predicate-partitioned parquet table with exactly-once semantics.
+
+    The file sink's write-ahead log in ``checkpoint_dir`` makes restarts
+    resume at the last committed micro-batch — the streaming form of the
+    pipeline's manifest-based stage resume. Returns the started query;
+    caller drains (processAllAvailable) or runs it continuously.
+    """
+    return (
+        stream_extract_triples(transcripts)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("pred")
+        .start()
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drain all available input synchronously into a memory sink —
     the local smoke path (production uses kafka/iceberg sinks with
