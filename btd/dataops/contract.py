@@ -139,8 +139,10 @@ def _q_doc_sample(spark, sf):
 
 def _q_kg_pagerank(spark, sf):
     """PageRank over the star-schema edge graph — iterative DataFrame
-    joins (rows-only check: fixpoint float iteration isn't one SQL
-    statement; correctness vs numpy in tests/test_graph_curation.py)."""
+    joins; oracled by the same 5 iterations unrolled as DuckDB CTEs
+    (``_pagerank_sql``). ROUND(,4) on both sides absorbs the ULP-level
+    summation-order drift of a 5-deep float fixpoint (numeric
+    correctness vs numpy is tested in tests/test_graph_curation.py)."""
     from btd.graph import pagerank
     from btd.star import edges
 
@@ -148,7 +150,7 @@ def _q_kg_pagerank(spark, sf):
         F.col("subject").alias("src"), F.col("object").alias("dst")
     )
     pr = pagerank(e, n_iter=5)
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    return pr.select("node", F.round("rank", 4).alias("rank"))
 
 
 def queries_dataops():
@@ -166,11 +168,126 @@ def queries_dataops():
         "doc_fingerprints": _q_fingerprints,
         "emb_cosine_near_dup": _q_emb_near_dup,
         "emb_brute_force_topk": _q_emb_brute_topk,
-        "emb_lsh_topk": _q_emb_lsh_topk,  # no oracle: LSH planes in SQL impractical
+        "emb_lsh_topk": _q_emb_lsh_topk,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of btd.graph.pagerank over the star-schema edges:
+    the fixed-count iteration unrolled as chained CTEs r0..r{n}.
+    Literals are Python-repr'd so both engines evaluate the identical
+    doubles (Spark's ``F.lit(1.0 - damping)`` is the same Python
+    float)."""
+    from btd.star import EDGES_SQL
+
+    base, d = repr(1.0 - damping), repr(damping)
+    parts = [
+        f"WITH edges AS ({EDGES_SQL}),",
+        "e AS (SELECT subject AS src, object AS dst FROM edges),",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "od AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS out_deg"
+        " FROM e GROUP BY src),",
+        "dangling AS (SELECT n.node FROM nodes n LEFT JOIN od USING (node)"
+        " WHERE od.node IS NULL),",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),",
+    ]
+    for j in range(1, n_iter + 1):
+        i = j - 1
+        parts.append(
+            f"""r{j} AS (
+  SELECT n.node,
+         {base} + {d} * (COALESCE(c.recv, 0.0)
+                         + d.dm / (SELECT n FROM nn)) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / od.out_deg) AS recv
+             FROM e JOIN r{i} r ON r.node = e.src
+                    JOIN od ON od.node = e.src
+             GROUP BY e.dst) c ON c.node = n.node
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+              FROM dangling dg JOIN r{i} r ON r.node = dg.node) d
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, ROUND(rank, 4) AS rank FROM r{n_iter}")
+    return "\n".join(parts)
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of btd.dataops.dedup.simhash_near_dup: the md5
+    token-bit tally of ``_simhash64`` rebuilt from hex nibbles, band
+    values summed directly from majority bits (sidesteps DuckDB's
+    arithmetic ``>>`` on signed BIGINT)."""
+    return f"""WITH docs_plus AS ({DOCS_PLUS_SQL}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM docs_plus),
+doc_n AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+-- bit i of md5(tok)[:8] as big-endian u64: nibble 15 - i//4, bit i%4
+tb AS (SELECT tok,
+              list_transform(range(0, 64), i ->
+                  ((strpos('0123456789abcdef',
+                           substr(md5(tok), CAST(16 - i // 4 AS INT), 1)) - 1)
+                   // (1 << CAST(i % 4 AS INT))) % 2) AS bits
+       FROM (SELECT DISTINCT tok FROM toks)),
+br AS (SELECT t.doc_id, unnest(range(0, 64)) AS i, unnest(tb.bits) AS bit
+       FROM toks t JOIN tb USING (tok)),
+votes AS (SELECT doc_id, i, SUM(bit) AS s FROM br GROUP BY doc_id, i),
+fpb AS (SELECT v.doc_id, v.i,
+               CASE WHEN 2 * v.s > d.n THEN 1 ELSE 0 END AS v
+        FROM votes v JOIN doc_n d USING (doc_id)),
+bands AS (SELECT doc_id,
+                 CAST(i // 16 AS VARCHAR) || ':' ||
+                 CAST(SUM(v * (CAST(1 AS BIGINT)
+                               << CAST(i % 16 AS INT))) AS VARCHAR)
+                     AS band_key
+          FROM fpb GROUP BY doc_id, i // 16)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band_key)
+WHERE a.doc_id < b.doc_id"""
+
+
+def _lsh_topk_sql(dim: int = 64, k: int = 3, n_tables: int = 8,
+                  bits: int = 4) -> str:
+    """DuckDB twin of btd.dataops.similarity.lsh_topk: the
+    deterministic md5-derived hyperplanes are inlined as literal
+    DOUBLE[] (Python repr round-trips exactly), bucketing and
+    within-bucket scoring replicated verbatim."""
+    from btd.dataops.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_tables * bits)
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]"
+
+    keys = []
+    for t in range(n_tables):
+        sig = " || ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{plane_lit(planes[t * bits + i])}) > 0 "
+            "THEN '1' ELSE '0' END)"
+            for i in range(bits)
+        )
+        keys.append(f"'{t}:' || {sig}")
+    return f"""WITH {_COSINE_SQL},
+buckets AS (SELECT vec_id,
+                   unnest([{", ".join(keys)}]) AS bucket
+            FROM embeddings),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b USING (bucket)
+         WHERE a.vec_id != b.vec_id),
+scored AS (SELECT c.id_a, c.id_b, p.cosine
+           FROM cand c JOIN pairs p
+             ON p.id_a = c.id_a AND p.id_b = c.id_b),
+ranked AS (SELECT id_a, id_b, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                       ORDER BY cosine DESC, id_b) AS INTEGER) AS rank
+           FROM scored)
+SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}"""
+
 
 #: normalize-then-dot, element order preserved — the exact float path
 #: of btd.dataops.similarity.normalized/_ndot, so ROUND(.,6) agrees.
@@ -217,7 +334,9 @@ def oracle_sql_dataops():
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
                        AS INTEGER) < 64""",
-        # kg_pagerank: rows-only (iterative float fixpoint)
+        "kg_pagerank": _pagerank_sql(),
+        "doc_simhash_near_dup": _simhash_sql(),
+        "emb_lsh_topk": _lsh_topk_sql(),
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
@@ -246,7 +365,6 @@ def oracle_sql_dataops():
             JOIN sh sb ON sb.doc_id = c.id_b
             WHERE ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
                         len(list_distinct(list_concat(sa.s, sb.s))), 6) >= 0.5""",
-        # doc_simhash_near_dup: pandas-UDF bit kernel — rows-only check
         "doc_token_stats": r"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

@@ -67,34 +67,52 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
-    Inverted-index join: explode shingles, self-join on shingle, count
-    shared shingles per pair, then |A∩B| / (|A| + |B| - |A∩B|). Full
-    recall; quadratic in posting-list length — the validation baseline
-    for the LSH variant.
+    Exact prefix-filtered index join (AllPairs/PPJoin family): under a
+    global rarest-first shingle order, any pair with J >= t shares at
+    least one shingle inside each side's first ``n - ceil(t*n) + 1``
+    shingles, so only those prefix postings are self-joined; candidates
+    are then verified against the full shingle sets. Full recall like
+    the naive inverted-index join, but hot shingles (the quadratic
+    posting lists) fall out of the prefixes — at 100 TB the join cost
+    tracks rare-shingle co-occurrence, not stopword n-gram frequency.
     """
+    from pyspark.sql import Window
+
     sh = _with_shingles(docs)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    shared = (
-        a.join(b, "shingle")
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
+    doc_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ex.join(doc_freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")),
                 6,
             ),
         )

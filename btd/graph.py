@@ -4,14 +4,18 @@ DataFrame joins (GraphFrames-style, dependency-free).
 Same execution discipline as connected components (btd.link.canonical):
 driver-side fixed-iteration loop, one shuffle per iteration (join ranks
 to out-edges, re-aggregate by destination), ``localCheckpoint`` lineage
-cuts. Dangling nodes (no out-edges) redistribute uniformly, so ranks
-sum to n throughout — the invariant the tests assert.
+cuts managed by :class:`btd.ckpt.CheckpointLoop` so superseded
+iterations' blocks are freed instead of pinning executor storage for
+the session. Dangling nodes (no out-edges) redistribute uniformly, so
+ranks sum to n throughout — the invariant the tests assert.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from btd.ckpt import CheckpointLoop
 
 
 def pagerank(
@@ -26,24 +30,23 @@ def pagerank(
     Duplicate edges count as parallel edges (weight = multiplicity),
     matching the reference's duplicate-preserving degree semantics.
     """
-    nodes = (
+    loop = CheckpointLoop(edges.sparkSession)
+    nodes = loop.static(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
     # pre-join static structure once; re-used every iteration
-    ew = (
+    ew = loop.static(
         edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
         .join(out_deg, "node")
-        .localCheckpoint()
     )
     # static set of dangling nodes (no out-edges) — computed once
-    dangling_nodes = nodes.join(out_deg, "node", "left_anti").localCheckpoint()
+    dangling_nodes = loop.static(nodes.join(out_deg, "node", "left_anti"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
@@ -58,7 +61,7 @@ def pagerank(
         dm = dangling_nodes.join(ranks, "node").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        ranks = (
+        ranks = loop.step(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select(
@@ -72,6 +75,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+    loop.close()  # statics freed; final ranks keeps its checkpoint
     return ranks

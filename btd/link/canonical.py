@@ -9,7 +9,9 @@ iterations; entity same-as components are shallow (chains/stars of
 surface variants), so diameter — not log(n) large-star/small-star —
 is the right complexity target, and each iteration is one shuffle.
 Catalyst can't express fixpoints, so the loop is driver-side with
-``localCheckpoint`` per iteration to cut lineage (SURVEY.md §7.3).
+``localCheckpoint`` per iteration to cut lineage (SURVEY.md §7.3);
+:class:`btd.ckpt.CheckpointLoop` frees superseded iterations' blocks
+so the loop doesn't pin executor storage for the session.
 """
 
 from __future__ import annotations
@@ -17,35 +19,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from btd.ckpt import CheckpointLoop
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
     """nodes(entity_id) + edges(id_a, id_b) →
     (entity_id, canonical_id = min entity_id of the component)."""
+    loop = CheckpointLoop(nodes.sparkSession)
     # undirected: both directions once, reused every iteration
-    und = (
+    und = loop.static(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
     )
-    labels = nodes.select(
-        "entity_id", F.col("entity_id").alias("canonical_id")
-    ).localCheckpoint()
+    labels = loop.step(
+        nodes.select("entity_id", F.col("entity_id").alias("canonical_id"))
+    )
 
     for _ in range(max_iter):
         msgs = und.join(
             labels, und.src == labels.entity_id, "inner"
         ).select(F.col("dst").alias("entity_id"), "canonical_id")
-        new_labels = (
+        new_labels = loop.step(
             labels.select("entity_id", "canonical_id")
             .unionByName(msgs)
             .groupBy("entity_id")
-            .agg(F.min("canonical_id").alias("canonical_id"))
-            .localCheckpoint()
+            .agg(F.min("canonical_id").alias("canonical_id")),
+            free_prev=False,  # convergence diff below still reads labels
         )
         changed = (
             new_labels.alias("n")
@@ -54,9 +58,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        loop.release_prev()
         labels = new_labels
         if changed == 0:
             break
+    loop.close()  # statics freed; final labels keeps its checkpoint
     return labels
 
 

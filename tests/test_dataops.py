@@ -258,3 +258,27 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01")
+
+
+def test_ngram_jaccard_prefix_filter_full_recall(spark):
+    """Adversarial stress for the AllPairs prefix filter: short docs
+    from a 6-word vocabulary → dense borderline-Jaccard pairs, checked
+    at three thresholds against the O(n²) set oracle."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for i in range(80)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    for t in (0.3, 0.5, 0.8):
+        expected = _py_jaccard_pairs(texts, t)
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, t).collect()
+        }
+        assert got == expected, f"threshold {t}: prefix filter lost pairs"
