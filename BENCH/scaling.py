@@ -31,11 +31,39 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_UNDER_SUBMIT = "PYSPARK_GATEWAY_PORT" in os.environ
+if not _UNDER_SUBMIT:
+    # self-launched: import btd from the repo tree. Under spark-submit
+    # the package comes ONLY from --py-files btd.zip (the north rule's
+    # ship mechanism); keeping the repo off sys.path proves it.
+    sys.path.insert(0, _REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("BTD_SCALE_REPLICAS", "96"))
 TRIALS = int(os.environ.get("BTD_SCALE_TRIALS", "2"))
+
+
+def build_pyfiles_zip() -> str:
+    """Package btd/ as dist/btd.zip for ``spark-submit --py-files``."""
+    import zipfile
+
+    dist = os.path.join(_REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "btd.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(_REPO, "btd")):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, _REPO))
+    return zpath
+
+
+def _spark_submit() -> str | None:
+    import shutil
+
+    return shutil.which("spark-submit")
 
 
 def build_input(spark, sf_dir: str, replicas: int):
@@ -91,9 +119,15 @@ def run_level(cores: int) -> dict:
         wall, n_triples, n_hist = job()
         walls.append(wall)
     best = min(walls)
+    import btd
+
+    master = spark.sparkContext.master
     spark.stop()
     return {
         "cores": cores,
+        "master": master,
+        "launched_via": "spark-submit --py-files" if _UNDER_SUBMIT else "python",
+        "btd_from": btd.__file__,
         "n_turns": n_turns,
         "n_triples": n_triples,
         "n_hist_rows": n_hist,
@@ -123,12 +157,24 @@ def main() -> None:
             deadline = time.time() + 120
             while os.getloadavg()[0] > 3 and time.time() < deadline:
                 time.sleep(5)
+        submit = _spark_submit()
+        if submit:  # the north rule's ship mechanism, verbatim
+            cmd = [
+                submit,
+                "--master", f"local[{c}]",
+                "--driver-memory", os.environ.get("BTD_DRIVER_MEM", "24g"),
+                "--py-files", build_pyfiles_zip(),
+                os.path.abspath(__file__),
+                "--cores", str(c),
+            ]
+        else:  # fallback for environments without the launcher script
+            cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(c)]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cores", str(c)],
+            cmd,
             capture_output=True,
             text=True,
             check=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd="/tmp",  # not the repo: btd must come from --py-files
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
         results.append(json.loads(line[len("RESULT "):]))

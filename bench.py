@@ -48,6 +48,30 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # headline north-rule metric: transcript triple-extraction
+    # throughput (BASELINE.md targets triples/sec; scaling efficiency
+    # is measured separately by BENCH/scaling.py with fresh JVMs)
+    from pyspark.sql import functions as F
+
+    from BENCH.scaling import build_input
+    from btd.extract.relations import extract_triples
+
+    # 32 replicas ≈ 3.2M turns at sf0.1: large enough that per-job fixed
+    # costs stop dominating and the rate reflects steady-state kernel
+    # throughput (peak measured 1.48M turns/s at 12.8M turns, local[32])
+    replicas = int(os.environ.get("BTD_BENCH_EXTRACT_REPLICAS", "32"))
+    tx = build_input(spark, sf_dir, replicas).repartition(cores * 4)
+    tx.persist()
+    n_turns = tx.count()  # materialized outside the timed window
+    best = float("inf")
+    n_triples = 0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        n_triples = extract_triples(tx).count()
+        best = min(best, time.perf_counter() - t0)
+    tx.unpersist()
+
     print(
         json.dumps(
             {
@@ -57,6 +81,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cores": cores,
+                "extraction_turns": n_turns,
+                "extraction_triples": n_triples,
+                "extraction_triples_per_sec": round(n_triples / best, 1),
             }
         )
     )

@@ -29,9 +29,15 @@ def get_spark(
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or None
     master = f"local[{cores}]" if cores else "local[*]"
     shuffle_partitions = shuffle_partitions or (cores or os.cpu_count() or 8)
+    # Under spark-submit the master (and deploy mode) come from the
+    # submit command line — PythonRunner exports PYSPARK_GATEWAY_PORT —
+    # and a builder-set master would override it. Only pin local[N]
+    # when self-launched (tests, bench, python -m btd.cli).
+    b = SparkSession.builder.appName(app_name)
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b
         # AQE: runtime coalescing + skew-join splitting — the explicit
         # skew story for hot entities (SURVEY.md §4: power-law degree,
         # max outdegree 1.4M in the reference data).
