@@ -65,6 +65,21 @@ def _q_distinct_contexts(spark: SparkSession, sf: str) -> DataFrame:
     return A.distinct_contexts_per_triple(edges(spark, sf))
 
 
+def _q_distinct_contexts_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe variant of the reference's widest shuffle (problem 6):
+    two-level salted COUNT DISTINCT (btd.skew) — same result as
+    ref_distinct_contexts even when one hot triple's context set
+    exceeds a reducer. Shares that query's oracle SQL."""
+    from btd.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        edges(spark, sf),
+        ["subject", "predicate", "object"],
+        "context",
+        out="n_contexts",
+    )
+
+
 def _q_top_contexts(spark: SparkSession, sf: str) -> DataFrame:
     return A.top_k_contexts(edges(spark, sf), 10)
 
@@ -215,6 +230,7 @@ def queries() -> dict[str, QueryFn]:
         "ref_topk_outdegree": _q_topk_outdegree,
         "ref_percentages": _q_percentages,
         "ref_distinct_contexts": _q_distinct_contexts,
+        "ref_distinct_contexts_salted": _q_distinct_contexts_salted,
         "ref_top_contexts": _q_top_contexts,
         "ref_dedup": _q_dedup,
         "ref_percentages_compat": _q_percentages_compat,
@@ -315,6 +331,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS total
             FROM edges""",
         "ref_distinct_contexts": f"""{e}
+            SELECT subject, predicate, object,
+                   CAST(COUNT(DISTINCT context) AS BIGINT) AS n_contexts
+            FROM edges GROUP BY subject, predicate, object""",
+        "ref_distinct_contexts_salted": f"""{e}
             SELECT subject, predicate, object,
                    CAST(COUNT(DISTINCT context) AS BIGINT) AS n_contexts
             FROM edges GROUP BY subject, predicate, object""",

@@ -36,15 +36,23 @@ def salted_count(
 
 
 def salted_count_distinct(
-    df: DataFrame, key: str, value: str, n_salts: int = 16, out: str = "cnt"
+    df: DataFrame,
+    key: str | list[str],
+    value: str,
+    n_salts: int = 16,
+    out: str = "cnt",
 ) -> DataFrame:
-    """COUNT(DISTINCT value) per key, skew-safe: salt by the VALUE hash
-    so duplicates of one value land in the same bucket (stage-1 distinct
-    stays correct), then sum per-bucket distinct counts."""
+    """COUNT(DISTINCT value) per key (single or composite), skew-safe:
+    salt by the VALUE hash so duplicates of one value land in the same
+    bucket (stage-1 distinct stays correct), then sum per-bucket
+    distinct counts."""
+    keys = [key] if isinstance(key, str) else list(key)
     salt = F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).alias("_salt")
     partial = (
-        df.select(key, value, salt)
-        .groupBy(key, "_salt")
+        df.select(*keys, value, salt)
+        .groupBy(*keys, "_salt")
         .agg(F.count_distinct(value).alias("_partial"))
     )
-    return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias(out))
+    return partial.groupBy(*keys).agg(
+        F.sum("_partial").cast("long").alias(out)
+    )
