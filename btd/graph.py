@@ -24,11 +24,20 @@ def pagerank(
     n_iter: int = 10,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """edges(src, dst) → (node, rank); ranks sum to #nodes.
 
     Duplicate edges count as parallel edges (weight = multiplicity),
     matching the reference's duplicate-preserving degree semantics.
+
+    ``checkpoint_interval``: iterations chained lazily between eager
+    ``localCheckpoint`` cuts. Each cut is a job barrier; between cuts
+    the iterations pipeline inside one job (the dangling-mass scalar
+    per iteration becomes a nested broadcast subquery). Lineage depth
+    stays bounded by the interval either way — raise it when per-job
+    latency dominates (small graphs), lower toward 1 when an
+    iteration's shuffle is itself huge.
     """
     loop = CheckpointLoop(edges.sparkSession)
     nodes = loop.static(
@@ -49,7 +58,7 @@ def pagerank(
     dangling_nodes = loop.static(nodes.join(out_deg, "node", "left_anti"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contribs = (
             ew.join(ranks, "node")
             .groupBy(F.col("dst_node").alias("node"))
@@ -61,7 +70,7 @@ def pagerank(
         dm = dangling_nodes.join(ranks, "node").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        ranks = loop.step(
+        ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select(
@@ -76,5 +85,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if (it + 1) % checkpoint_interval == 0 or it == n_iter - 1:
+            ranks = loop.step(ranks)
     loop.close()  # statics freed; final ranks keeps its checkpoint
     return ranks
