@@ -70,7 +70,18 @@ def run(
             .distinct()
             .collect()
         ]
-        return detect_mentions(transcripts, surfaces or ["<none>"])
+        # regex-scan DISTINCT texts, then equi-join spans back to turns:
+        # transcript corpora repeat text heavily (boilerplate tool
+        # output, templated turns), so the Python-regex cost tracks
+        # distinct texts, not turns; the join is spans-side small and
+        # AQE broadcasts it
+        uniq = transcripts.select("text").distinct()
+        spans = detect_mentions(uniq, surfaces or ["<none>"], keys=("text",))
+        return (
+            transcripts.select("conv_id", "turn_idx", "text")
+            .join(spans, "text")
+            .select("conv_id", "turn_idx", "surface", "start", "end")
+        )
 
     mentions = stage("mentions", _mentions)
 

@@ -99,3 +99,31 @@ def test_spark_extractor_equals_python_twin(spark, transcripts_df, transcripts_f
         for r in extract_triples(transcripts_df).collect()
     }
     assert got == expected
+
+
+def test_trie_pattern_equals_naive_alternation():
+    """The trie-compiled gazetteer regex must match exactly what the
+    naive longest-first alternation matches — same spans, same
+    surfaces — on adversarial prefix-nested vocabularies."""
+    import random
+    import re
+
+    from btd.extract.mentions import build_mention_pattern
+
+    rng = random.Random(11)
+    base = ["a", "ab", "abc", "crew", "crew scan", "crew scan x",
+            "b.c", "b", "x+y", "x"]
+    for trial in range(20):
+        words = rng.sample(base, rng.randint(1, len(base)))
+        naive = (r"(?<![\w])("
+                 + "|".join(re.escape(s) for s in
+                            sorted(set(words), key=lambda s: (-len(s), s)))
+                 + r")(?![\w])")
+        trie = build_mention_pattern(words)
+        text = " ".join(rng.choice(base + ["zzz", "abcd", "crew scans"])
+                        for _ in range(30))
+        got_n = [(m.group(1), m.start(1), m.end(1))
+                 for m in re.finditer(naive, text)]
+        got_t = [(m.group(1), m.start(1), m.end(1))
+                 for m in re.finditer(trie, text)]
+        assert got_t == got_n, f"trial {trial}: {words}"
