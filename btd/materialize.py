@@ -43,16 +43,20 @@ def write_stage(
     that produced it; the manifest records per-partition row counts.
     """
     out = df.withColumn("_lineage_part", F.spark_partition_id())
-    per_part = [
-        (r["_lineage_part"], r["n"])
-        for r in out.groupBy("_lineage_part")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    ]
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    # lineage counts come from the files just written (columnar scan of
+    # one int column) — counting the input DataFrame instead would run
+    # the whole upstream computation a second time
+    per_part = [
+        (r["_lineage_part"], r["n"])
+        for r in df.sparkSession.read.parquet(path)
+        .groupBy("_lineage_part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
     manifest = {
         "stage": stage,
         "path": path,

@@ -58,6 +58,15 @@ def run(
             )
         return read_stage(spark, paths[name])
 
+    # Defensive fan-out: a narrow input (few/one parquet files, or
+    # unsplittable gz — the same physics the reference hit on S3 gz
+    # chunks) caps every narrow stage at the scan's parallelism. One
+    # cheap shuffle here unlocks the cluster; a well-partitioned big
+    # table (partitions >= target) passes through untouched.
+    target = spark.sparkContext.defaultParallelism * 2
+    if transcripts.rdd.getNumPartitions() < target:
+        transcripts = transcripts.repartition(target)
+
     triples_raw = stage("triples_raw", lambda: extract_triples(transcripts))
 
     # mention surfaces: union of extraction-observed subj/obj surfaces
