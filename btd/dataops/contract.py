@@ -123,6 +123,12 @@ def _q_emb_lsh_topk(spark, sf):
     return lsh_topk(_emb(spark, sf), dim=64, k=3)
 
 
+def _q_emb_ivf_topk(spark, sf):
+    from btd.dataops.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf), k=3, n_clusters=16, n_iter=3, nprobe=4)
+
+
 def _q_curation(spark, sf):
     from btd.dataops.curation import curate
 
@@ -169,6 +175,7 @@ def queries_dataops():
         "emb_cosine_near_dup": _q_emb_near_dup,
         "emb_brute_force_topk": _q_emb_brute_topk,
         "emb_lsh_topk": _q_emb_lsh_topk,
+        "emb_ivf_topk": _q_emb_ivf_topk,
     }
 
 
@@ -289,6 +296,78 @@ ranked AS (SELECT id_a, id_b, cosine,
 SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+def _ivf_topk_sql(
+    dim: int = 64,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of btd.dataops.similarity.ivf_topk: the Lloyd
+    iterations unrolled as CTEs c0..c{n}. Every cluster assignment
+    rounds its cosine to 6 decimals before ranking (ties → centroid
+    index) in BOTH engines, so assignments agree despite
+    summation-order ULPs in the means; empty clusters keep the
+    previous centroid, exactly like ivf_train."""
+    rng = f"range(1, {dim + 1})"
+
+    def assign_cte(name: str, cfrom: str, keep: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cidx FROM (
+    SELECT v.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY ROUND(list_dot_product(v.e, c.e), 6) DESC, c.cidx)
+             AS rn
+    FROM v, {cfrom} c)
+  WHERE rn {keep})"""
+
+    parts = [
+        f"WITH {_COSINE_SQL},",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, e
+  FROM v ORDER BY vec_id LIMIT {n_clusters}),""",
+    ]
+    for j in range(1, n_iter + 1):
+        i = j - 1
+        parts.append(assign_cte(f"a{j}", f"c{i}", "= 1") + ",")
+        parts.append(
+            f"""mx{j} AS (
+  SELECT a.cidx, unnest({rng}) AS i, unnest(v.e) AS val
+  FROM a{j} a JOIN v USING (vec_id)),
+mv{j} AS (
+  SELECT cidx, list(avg_v ORDER BY i) AS me
+  FROM (SELECT cidx, i, AVG(val) AS avg_v FROM mx{j} GROUP BY cidx, i)
+  GROUP BY cidx),
+c{j} AS (
+  SELECT c.cidx,
+         CASE WHEN mv.me IS NULL
+                   OR sqrt(list_dot_product(mv.me, mv.me)) = 0
+              THEN c.e
+              ELSE list_transform(mv.me,
+                   x -> x / sqrt(list_dot_product(mv.me, mv.me)))
+         END AS e
+  FROM c{i} c LEFT JOIN mv{j} mv USING (cidx)),"""
+        )
+    parts.append(assign_cte("bk", f"c{n_iter}", "= 1") + ",")
+    parts.append(assign_cte("pr", f"c{n_iter}", f"<= {nprobe}") + ",")
+    parts.append(
+        f"""cand AS (
+  SELECT DISTINCT p.vec_id AS id_a, b.vec_id AS id_b
+  FROM pr p JOIN bk b USING (cidx)
+  WHERE p.vec_id != b.vec_id),
+scored AS (
+  SELECT c.id_a, c.id_b, p2.cosine
+  FROM cand c JOIN pairs p2 ON p2.id_a = c.id_a AND p2.id_b = c.id_b),
+ranked AS (
+  SELECT id_a, id_b, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY cosine DESC, id_b) AS INTEGER) AS rank
+  FROM scored)
+SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}"""
+    )
+    return "\n".join(parts)
+
+
 #: normalize-then-dot, element order preserved — the exact float path
 #: of btd.dataops.similarity.normalized/_ndot, so ROUND(.,6) agrees.
 _COSINE_SQL = """
@@ -337,6 +416,7 @@ def oracle_sql_dataops():
         "kg_pagerank": _pagerank_sql(),
         "doc_simhash_near_dup": _simhash_sql(),
         "emb_lsh_topk": _lsh_topk_sql(),
+        "emb_ivf_topk": _ivf_topk_sql(),
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

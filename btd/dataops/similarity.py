@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -266,4 +268,156 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
             "id_a", "id_b", F.round(_ndot("e_a", "e_b"), 6).alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def ivf_assign_kernel(centroids):
+    """pandas-UDF factory: vec → (probe ranking of centroids). Cosine
+    is rounded to 6 decimals BEFORE the argsort, ties broken by
+    centroid index — the same discretization the DuckDB oracle applies,
+    so assignments agree across engines despite summation-order ULPs."""
+    import numpy as np
+
+    C = centroids  # (k, dim) L2-normalized
+
+    def rank_clusters(Q):
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = np.round(Qn @ C.T, 6)  # (rows, k)
+        # argsort by (-cosine, centroid idx): lexsort keys last-first
+        k = C.shape[0]
+        idx = np.arange(k)
+        return np.array(
+            [idx[np.lexsort((idx, -S[r]))] for r in range(len(Q))]
+        )
+
+    return rank_clusters
+
+
+def ivf_train(emb: DataFrame, n_clusters: int = 16, n_iter: int = 3):
+    """Deterministic Lloyd iterations, Spark-native: assignment is an
+    Arrow-batched argmax against the broadcast centroid matrix (k×dim
+    driver state — the only thing collected); the centroid update is a
+    posexplode + groupBy(cluster, pos) mean, i.e. one partial-aggregated
+    shuffle per iteration. Init = the ``n_clusters`` smallest vec_ids'
+    vectors (seedless, rerun-stable).
+
+    Returns the final (k, dim) normalized centroid matrix (numpy).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    init = emb.orderBy("vec_id").limit(n_clusters).collect()
+    C = np.array([r.embedding for r in init], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    dim = C.shape[1]
+
+    n = normalized(emb)
+    for _ in range(n_iter):
+        rank = ivf_assign_kernel(C)
+
+        @F.pandas_udf(T.IntegerType())
+        def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for batch in it:
+                Q = np.array(list(batch), dtype=np.float64)
+                yield pd.Series(rank(Q)[:, 0].astype("int32"))
+
+        assigned = n.select(
+            "vec_id", "en", _assign(F.col("en")).alias("cluster")
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("en").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        by_cluster: dict[int, np.ndarray] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, np.zeros(dim))[r.pos] = r.m
+        for c, vec in by_cluster.items():
+            nv = np.linalg.norm(vec)
+            if nv > 0:
+                newC[c] = vec / nv
+        C = newC
+    return C
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: deterministic k-means buckets, each
+    query probes its ``nprobe`` nearest clusters, brute force only
+    within probed buckets. The scale path when LSH bucket occupancy is
+    skewed: cluster sizes track data density, and the candidate join is
+    equi-keyed on cluster id (AQE skew-split applies). Same scoring
+    float path (broadcast gather-dot, ROUND 6) as lsh_topk/blas_topk.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    C = ivf_train(emb, n_clusters, n_iter)
+    rank = ivf_assign_kernel(C)
+
+    @F.pandas_udf(T.IntegerType())
+    def _home(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            Q = np.array(list(batch), dtype=np.float64)
+            yield pd.Series(rank(Q)[:, 0].astype("int32"))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            Q = np.array(list(batch), dtype=np.float64)
+            yield pd.Series(
+                [list(map(int, row[:nprobe])) for row in rank(Q)]
+            )
+
+    buckets = emb.select(
+        "vec_id", _home(F.col("embedding")).alias("cluster")
+    )
+    probes = emb.select(
+        "vec_id", F.explode(_probes(F.col("embedding"))).alias("cluster")
+    )
+    cand = (
+        probes.alias("a")
+        .join(buckets.alias("b"), "cluster")
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
+
+    def score(batches):
+        pos = {int(v): i for i, v in enumerate(b_ids.value)}
+        Mn = b_m.value
+        for pdf in batches:
+            ia = pdf["id_a"].map(pos).to_numpy()
+            ib = pdf["id_b"].map(pos).to_numpy()
+            cos = np.round((Mn[ia] * Mn[ib]).sum(axis=1), 6)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    pairs = cand.mapInPandas(score, "id_a long, id_b long, cosine double")
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
     )

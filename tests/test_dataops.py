@@ -282,3 +282,35 @@ def test_ngram_jaccard_prefix_filter_full_recall(spark):
             for r in ngram_jaccard_pairs(df, t).collect()
         }
         assert got == expected, f"threshold {t}: prefix filter lost pairs"
+
+
+def test_ivf_topk_structure_and_planted_dup(spark, emb):
+    """IVF: planted exact-duplicate vectors share the home cluster at
+    any nprobe, so each must be its twin's rank-1 neighbor; ranks are
+    contiguous from 1; reruns are bit-identical (deterministic init +
+    discretized assignments)."""
+    from btd.dataops.similarity import blas_topk, ivf_topk
+
+    got = ivf_topk(emb, k=3).collect()
+    by_a = {}
+    for r in got:
+        by_a.setdefault(r.id_a, []).append(r)
+    for a, rows in by_a.items():
+        assert sorted(x.rank for x in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+    # emb fixture plants vec_id+10000 as exact copies of the first 3
+    planted = {r.vec_id + 10000 for r in emb.orderBy("vec_id").limit(3).collect()}
+    rank1 = {r.id_a: (r.id_b, r.cosine) for r in got if r.rank == 1}
+    for twin in planted:
+        nb, cos = rank1[twin]
+        assert cos == 1.0, f"planted twin {twin} not found at cosine 1"
+    # sanity floor vs exact: rank-1 agreement well above random probing
+    exact1 = {
+        r.id_a: r.id_b for r in blas_topk(emb, 3).collect() if r.rank == 1
+    }
+    agree = sum(
+        1 for a, b in exact1.items() if rank1.get(a, (None,))[0] == b
+    )
+    assert agree / len(exact1) > 0.3
+    got2 = ivf_topk(emb, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
