@@ -129,6 +129,35 @@ def _q_emb_ivf_topk(spark, sf):
     return ivf_topk(_emb(spark, sf), k=3, n_clusters=16, n_iter=3, nprobe=4)
 
 
+def _q_media_features(spark, sf):
+    """Multimodal plumbing in the graded gate: deterministic fake media
+    (payload = md5-of-text bytes), Arrow-batched byte-stats kernel over
+    the binary column. byte_mean = sum/16 is exact in binary, so the
+    oracle (md5 hex nibbles → bytes) matches bit-for-bit, no rounding."""
+    from btd.dataops.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(_docs(spark, sf)), fake=True)
+
+
+MEDIA_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 16), j ->
+             (strpos('0123456789abcdef',
+                     substr(md5(text), CAST(2 * j + 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(text), CAST(2 * j + 2 AS INT), 1)) - 1))
+             AS bytes
+  FROM documents)
+SELECT media_id,
+       CAST(16 AS INT) AS n_bytes,
+       list_sum(bytes) / 16.0 AS byte_mean,
+       CAST(list_aggregate(bytes, 'min') AS INT) AS byte_min,
+       CAST(list_aggregate(bytes, 'max') AS INT) AS byte_max
+FROM b
+"""
+
+
 def _q_curation(spark, sf):
     from btd.dataops.curation import curate
 
@@ -176,6 +205,7 @@ def queries_dataops():
         "emb_brute_force_topk": _q_emb_brute_topk,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "doc_media_features": _q_media_features,
     }
 
 
@@ -417,6 +447,7 @@ def oracle_sql_dataops():
         "doc_simhash_near_dup": _simhash_sql(),
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _ivf_topk_sql(),
+        "doc_media_features": MEDIA_FEATURES_SQL,
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
