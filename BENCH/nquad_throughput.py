@@ -83,7 +83,14 @@ def main() -> None:
     from btd.parse import read_nquads
     from btd.session import get_spark
 
-    spark = get_spark("btd-nquad-bench", cores=args.cores)
+    # 4x cores shuffle partitions: the (s,p,o)-keyed wide aggregations
+    # (distinct contexts, dedup) hold ~250MB+ of string hash-agg state
+    # per task at cores-many partitions and spill; 4x cuts task state
+    # below memory (measured 2.2-2.8x on those jobs at 100M statements).
+    # Matches SCALE.md guidance: size partitions to the job, err high.
+    cores = args.cores or 32
+    spark = get_spark("btd-nquad-bench", cores=cores,
+                      shuffle_partitions=cores * 4)
     marker = os.path.join(CORPUS_DIR, f"_gen_{args.statements}")
     if not os.path.exists(marker):
         generate(spark, args.statements, CORPUS_DIR)
