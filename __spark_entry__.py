@@ -45,6 +45,12 @@ def _q_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return A.distinct_subject_count(edges(spark, sf))
 
 
+def _q_distinct_spo(spark: SparkSession, sf: str) -> DataFrame:
+    """North-star: distinct subject/predicate/object counts in one
+    multi-distinct pass (the reference shipped subjects only)."""
+    return A.distinct_spo_counts(edges(spark, sf))
+
+
 def _q_outdegree_hist(spark: SparkSession, sf: str) -> DataFrame:
     return A.outdegree_histogram(edges(spark, sf))
 
@@ -225,6 +231,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_entities": _q_kg_entities,
         "kg_outdegree_histogram": _q_kg_outdegree_hist,
         "ref_distinct_subjects": _q_distinct,
+        "ref_distinct_spo_counts": _q_distinct_spo,
         "ref_outdegree_histogram": _q_outdegree_hist,
         "ref_indegree_histogram": _q_indegree_hist,
         "ref_topk_outdegree": _q_topk_outdegree,
@@ -334,6 +341,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, object,
                    CAST(COUNT(DISTINCT context) AS BIGINT) AS n_contexts
             FROM edges GROUP BY subject, predicate, object""",
+        "ref_distinct_spo_counts": f"""{e}
+            SELECT CAST(COUNT(DISTINCT subject) AS BIGINT)
+                       AS n_distinct_subjects,
+                   CAST(COUNT(DISTINCT predicate) AS BIGINT)
+                       AS n_distinct_predicates,
+                   CAST(COUNT(DISTINCT object) AS BIGINT)
+                       AS n_distinct_objects
+            FROM edges""",
         "ref_distinct_contexts_salted": f"""{e}
             SELECT subject, predicate, object,
                    CAST(COUNT(DISTINCT context) AS BIGINT) AS n_contexts

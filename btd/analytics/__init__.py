@@ -14,12 +14,17 @@ from btd.analytics.degrees import (
     outdegree,
     outdegree_histogram,
 )
-from btd.analytics.distinct import distinct_subject_count, distinct_subjects
+from btd.analytics.distinct import (
+    distinct_spo_counts,
+    distinct_subject_count,
+    distinct_subjects,
+)
 from btd.analytics.percentages import percentages
 from btd.analytics.topk import top_k_outdegree
 
 __all__ = [
     "distinct_subjects",
+    "distinct_spo_counts",
     "distinct_subject_count",
     "outdegree",
     "indegree",

@@ -50,3 +50,16 @@ def outdegree_histogram(triples: DataFrame) -> DataFrame:
 
 def indegree_histogram(triples: DataFrame) -> DataFrame:
     return degree_histogram(indegree(triples))
+
+
+def histogram_text_lines(hist: DataFrame) -> DataFrame:
+    """(degree, n_nodes) → reference TextOutputFormat lines:
+    ``degree<TAB>n_nodes``, ascending by degree (the reducer-sort order
+    the published CSVs carry — report/outdegree-distribution.csv)."""
+    return hist.orderBy("degree").select(
+        F.concat_ws(
+            "\t",
+            F.col("degree").cast("string"),
+            F.col("n_nodes").cast("string"),
+        ).alias("value")
+    )

@@ -27,3 +27,18 @@ def distinct_subject_count(triples: DataFrame) -> DataFrame:
     final merge of ``count_distinct`` — no single-reducer bottleneck.
     """
     return triples.agg(F.count_distinct("subject").alias("n_distinct_subjects"))
+
+
+def distinct_spo_counts(triples: DataFrame) -> DataFrame:
+    """COUNT(DISTINCT subject / predicate / object) in ONE pass.
+
+    The north rule asks for all three node-role cardinalities (the
+    reference only shipped subjects — Distinct.java:40-41); Spark plans
+    multi-distinct aggregation as a single Expand + two-level hash agg,
+    so this is still one scan of the input.
+    """
+    return triples.agg(
+        F.count_distinct("subject").alias("n_distinct_subjects"),
+        F.count_distinct("predicate").alias("n_distinct_predicates"),
+        F.count_distinct("object").alias("n_distinct_objects"),
+    )

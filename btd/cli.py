@@ -41,8 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument(
         "--text-output",
         default=None,
-        help="gzip text out dir (dedup only): the reference's exact "
-        "'s p o  .' line format (S3/S4 sink)",
+        help="gzip text out dir: the reference's exact byte format — "
+        "'s p o  .' lines for dedup, 'degree<TAB>count' ascending "
+        "for outdegree/indegree (S3/S4 sink)",
     )
     pa.add_argument("--cores", type=int, default=None)
 
@@ -60,11 +61,19 @@ def main(argv: list[str] | None = None) -> int:
         triples = read_nquads(spark, args.input)
         out = ANALYSES[args.name](triples)
         if args.text_output:
-            if args.name != "dedup":
-                raise SystemExit("--text-output is only for the dedup analysis")
-            from btd.parse import to_nquad_lines
+            if args.name == "dedup":
+                from btd.parse import to_nquad_lines
 
-            to_nquad_lines(out).write.mode("overwrite").option(
+                lines = to_nquad_lines(out)
+            elif args.name in ("outdegree", "indegree"):
+                from btd.analytics.degrees import histogram_text_lines
+
+                lines = histogram_text_lines(out).coalesce(1)
+            else:
+                raise SystemExit(
+                    "--text-output supports dedup/outdegree/indegree"
+                )
+            lines.write.mode("overwrite").option(
                 "compression", "gzip"
             ).text(args.text_output)
             print(f"wrote {args.text_output}")

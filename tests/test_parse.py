@@ -85,3 +85,31 @@ def test_empty_context_roundtrip_matches_python_oracle(spark):
     df = parse_nquads(spark.createDataFrame([(l,) for l in lines], "value string"))
     got = collections.Counter(r.context == "" for r in df.collect())
     assert got == ctx_counter
+
+
+def test_histogram_text_bytes_golden(spark):
+    """Byte-identical TextOutputFormat shape for the degree histogram:
+    sample.txt's published outdegree distribution (report.md:196-198)
+    as 'degree<TAB>count' ascending lines."""
+    from btd.analytics import outdegree_histogram
+    from btd.analytics.degrees import histogram_text_lines
+    from btd.parse import read_nquads
+
+    from btd.parse import parse_nquads
+
+    # full 63-line sample.txt
+    t = read_nquads(spark, "/root/reference/assets/sample.txt")
+    lines = [
+        r.value for r in histogram_text_lines(outdegree_histogram(t)).collect()
+    ]
+    assert lines == ["1\t1", "6\t6", "12\t1", "14\t1"]
+    # the report's published histogram is for the ORIGINAL 27-line
+    # sample (report.md:161-198): first 27 lines reproduce it exactly
+    raw27 = spark.read.text("/root/reference/assets/sample.txt").limit(27)
+    lines27 = [
+        r.value
+        for r in histogram_text_lines(
+            outdegree_histogram(parse_nquads(raw27))
+        ).collect()
+    ]
+    assert lines27 == ["2\t1", "3\t6", "7\t1"]
