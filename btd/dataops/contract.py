@@ -158,6 +158,28 @@ FROM b
 """
 
 
+def _q_frame_sample(spark, sf):
+    """Frame-sampling plumbing in the gate: every 2nd 4-byte frame of
+    the fake payload, frames compared as hex (DuckDB slices the md5
+    hex directly; Spark hex()es the sliced bytes)."""
+    from btd.dataops.multimodal import sample_frames, synthesize_media
+
+    fr = sample_frames(
+        synthesize_media(_docs(spark, sf)), frame_bytes=4, every_nth=2
+    )
+    return fr.select(
+        "media_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       upper(substr(md5(text), f * 8 + 1, 8)) AS frame_hex
+FROM documents CROSS JOIN unnest([0, 2]) AS t(f)
+"""
+
+
 def _q_curation(spark, sf):
     from btd.dataops.curation import curate
 
@@ -206,6 +228,7 @@ def queries_dataops():
         "emb_lsh_topk": _q_emb_lsh_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "doc_media_features": _q_media_features,
+        "doc_frame_sample": _q_frame_sample,
     }
 
 
@@ -448,6 +471,7 @@ def oracle_sql_dataops():
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_ivf_topk": _ivf_topk_sql(),
         "doc_media_features": MEDIA_FEATURES_SQL,
+        "doc_frame_sample": FRAME_SAMPLE_SQL,
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

@@ -93,3 +93,79 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, payload binary"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 2, height: int = 2, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched resize over the binary column.
+
+    Real implementation would decode → PIL/cv2 resize → re-encode; the
+    deterministic stand-in block-averages the (fake-decoded) byte array
+    down to width*height bytes, so output size, schema, and batch shape
+    are exactly what the real kernel produces.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_out = width * height
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                a = decode_image(p, fake=fake).astype(np.float64)
+                # block-average into n_out buckets (deterministic)
+                idx = (np.arange(len(a)) * n_out) // max(len(a), 1)
+                buckets = np.zeros(n_out)
+                counts = np.bincount(idx, minlength=n_out)
+                np.add.at(buckets, idx, a)
+                outs.append(
+                    bytes(
+                        (buckets / np.maximum(counts, 1))
+                        .astype(np.uint8)
+                        .tolist()
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": outs,
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 4, every_nth: int = 2, fake: bool = True
+) -> DataFrame:
+    """Frame sampling for video-like payloads: treat the payload as a
+    sequence of fixed-size frames, keep every Nth (a real kernel swaps
+    byte-slicing for a container demuxer; partitioning, explode shape,
+    and per-batch memory behavior are identical)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a = bytes(decode_image(p, fake=fake).tolist())
+                n_frames = len(a) // frame_bytes
+                for fi in range(0, n_frames, every_nth):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(a[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)

@@ -314,3 +314,37 @@ def test_ivf_topk_structure_and_planted_dup(spark, emb):
     assert agree / len(exact1) > 0.3
     got2 = ivf_topk(emb, k=3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    """Resize block-averages the fake-decoded bytes to width*height;
+    frame sampling keeps every Nth fixed-size frame — both checked
+    against a pure-Python oracle on the md5 payloads."""
+    import numpy as np
+
+    from btd.dataops.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs.limit(20))
+    expected = {
+        r.media_id: bytes(r.payload) for r in media.collect()
+    }
+
+    rs = {r.media_id: bytes(r.payload) for r in resize_images(media).collect()}
+    for mid, payload in expected.items():
+        a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        idx = (np.arange(len(a)) * 4) // len(a)
+        want = bytes(
+            int(np.mean(a[idx == j])) for j in range(4)
+        )
+        assert rs[mid] == want
+
+    fr = sample_frames(media, frame_bytes=4, every_nth=2).collect()
+    got = {(r.media_id, r.frame_idx): bytes(r.frame) for r in fr}
+    for mid, payload in expected.items():
+        assert got[(mid, 0)] == payload[0:4]
+        assert got[(mid, 2)] == payload[8:12]
+        assert (mid, 1) not in got and (mid, 3) not in got
