@@ -177,9 +177,11 @@ def _q_kg_components(spark: SparkSession, sf: str) -> DataFrame:
 
 def _kg_entity_table(spark: SparkSession, sf: str) -> DataFrame:
     tri = extract_triples(transcripts_from_events(spark, sf))
+    # explode, not union-of-projections: a union's branches each
+    # re-evaluate the pandas-UDF extraction subtree; explode reads it
+    # once (same distinct surfaces either way)
     return (
-        tri.select(F.col("subj").alias("surface"))
-        .unionByName(tri.select(F.col("obj").alias("surface")))
+        tri.select(F.explode(F.array("subj", "obj")).alias("surface"))
         .distinct()
         .withColumn("entity_id", F.col("surface"))
     )

@@ -95,9 +95,11 @@ def run(
     mentions = stage("mentions", _mentions)
 
     def _entities_raw() -> DataFrame:
+        # explode, not union-of-projections: one scan of the stage
         return (
-            triples_raw.select(F.col("subj").alias("surface"))
-            .unionByName(triples_raw.select(F.col("obj").alias("surface")))
+            triples_raw.select(
+                F.explode(F.array("subj", "obj")).alias("surface")
+            )
             .distinct()
             .withColumn("entity_id", F.col("surface"))
         )
