@@ -40,10 +40,12 @@ def pagerank(
     iteration's shuffle is itself huge.
     """
     loop = CheckpointLoop(edges.sparkSession)
+    # explode, not union-of-projections: one evaluation of the edge
+    # subtree for the node set
     nodes = loop.static(
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
+        edges.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+        ).distinct()
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(

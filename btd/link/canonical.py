@@ -28,12 +28,23 @@ def connected_components(
     """nodes(entity_id) + edges(id_a, id_b) →
     (entity_id, canonical_id = min entity_id of the component)."""
     loop = CheckpointLoop(nodes.sparkSession)
-    # undirected: both directions once, reused every iteration
+    # undirected: both directions once, reused every iteration. Explode,
+    # not union-of-projections — a union's branches each re-evaluate the
+    # (possibly expensive) edge subtree; explode reads it once.
     und = loop.static(
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
     labels = loop.step(
