@@ -124,6 +124,39 @@ def _q_parse_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return A.percentages(parse_nquads(lines))
 
 
+def _q_ev_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no primitive): each
+    'error' event gains the same user's most recent 'click' at or
+    before it. Oracled against DuckDB's native ASOF LEFT JOIN."""
+    from btd.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(errors, clicks, on="user_id", right_cols=["value"])
+
+
+def _q_ev_range_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window range join as a bucketed equi-join: per error
+    event, COUNT of the user's clicks in the prior 24h."""
+    from btd.temporal import range_join_count
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return range_join_count(
+        errors, clicks, on="user_id", window_seconds=86400
+    )
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -245,6 +278,8 @@ def queries() -> dict[str, QueryFn]:
         "ref_percentages_compat": _q_percentages_compat,
         "ref_parse_roundtrip": _q_parse_roundtrip,
         "kg_turn_integrity": _q_kg_turn_integrity,
+        "ev_asof_join": _q_ev_asof_join,
+        "ev_range_count": _q_ev_range_count,
         **queries_dataops(),
     }
 
@@ -253,6 +288,22 @@ def oracle_sql() -> dict[str, str]:
     e = f"WITH edges AS ({EDGES_SQL})"
     tx = f"WITH tx AS ({TRANSCRIPTS_SQL})"
     return {
+        "ev_asof_join": """
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   r.value AS value_asof, r.ts AS ts_asof
+            FROM (SELECT * FROM events WHERE event_type = 'error') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts""",
+        "ev_range_count": """
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   CAST(COUNT(r.user_id) AS BIGINT) AS n_in_range
+            FROM (SELECT * FROM events WHERE event_type = 'error') l
+            LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+                 AND r.ts >= l.ts - INTERVAL 86400 SECOND
+            GROUP BY l.event_id, l.ts, l.user_id, l.value""",
         "kg_turn_order": f"""{tx}
             SELECT conv_id, turn_idx,
                    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id

@@ -1,0 +1,144 @@
+"""Temporal joins the DataFrame API lacks as primitives: as-of join
+and range join, composed from equi-shuffles + windows so they scale
+like any sort-merge join (no driver loops, no cross joins).
+
+The reference has no temporal operators (its only timestamps are job
+logs); these serve the transcript/events layer the north rule adds —
+"attach the latest state as-of this turn" is the canonical feature-
+engineering join over event streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the right row with the
+    greatest ``right_ts <= left_ts`` for the same ``on`` key (NULLs if
+    none) — DuckDB/kdb ``ASOF JOIN`` semantics.
+
+    Plan shape: union both sides, ONE shuffle on the key, and a running
+    ``last(ignorenulls)`` window ordered by (ts, side) — right rows
+    sort before left rows at equal timestamps, so ties match. Cost is
+    one exchange + one in-partition sort regardless of how many left
+    rows share a right match (a join+filter+row_number formulation
+    pays a shuffle of the full match cross-product instead).
+
+    Right rows should be unique per (key, ts) — with duplicates, which
+    one wins is the union's sort tie, matching DuckDB's "arbitrary
+    single match" but not necessarily the same arbitrary one.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    out_right = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    left_cols = left.columns
+
+    # union frame: left rows carry NULL right payloads, right rows
+    # carry NULL left payloads
+    r_payload = [F.col(c).alias(f"{c}{suffix}") for c in right_cols] + [
+        F.col(right_ts).alias(f"{right_ts}{suffix}")
+    ]
+    l_part = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(
+            f"{right_ts}{suffix}"
+        ),
+    )
+    r_part = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left_cols
+        ],
+        *r_payload,
+    )
+    unioned = l_part.unionByName(r_part)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "_side",
+        *left_cols,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in out_right
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 600,
+    out: str = "n_in_range",
+) -> DataFrame:
+    """Per left row: COUNT of right rows with the same key and
+    ``left_ts - window <= right_ts <= left_ts`` (a trailing-window
+    interval join).
+
+    Scalable shape: both sides bucketed to ``window_seconds``-wide
+    epochs and the LEFT side exploded to its two candidate buckets, so
+    the join is EQUI on (key, bucket) — shuffle ∝ rows, not the range
+    cross-product a raw theta-join pays — then the exact range
+    predicate filters within buckets and a final aggregation restores
+    one row per left row.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
+    # row id BEFORE the explode — a nondeterministic id projected in the
+    # same select as a generator is evaluated per exploded copy
+    l1 = left.withColumn("_rid", F.monotonically_increasing_id())
+    l2 = l1.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        "_rid",
+        F.explode(F.array(lb - 1, lb)).alias("_bucket"),
+        *[F.col(c) for c in left.columns],
+    )
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        rb.alias("_bucket"),
+        F.col(right_ts).alias("_rts"),
+    )
+    joined = l2.join(r2, ["_k", "_bucket"], "left").withColumn(
+        "_hit",
+        (
+            F.col("_rts").isNotNull()
+            & (F.col("_rts") <= F.col("_lts"))
+            & (
+                F.col("_rts")
+                >= F.col("_lts") - F.expr(f"INTERVAL {window_seconds} SECOND")
+            )
+        ).cast("long"),
+    )
+    return (
+        joined.groupBy("_rid", *left.columns)
+        .agg(F.sum("_hit").alias(out))
+        .drop("_rid")
+    )

@@ -1,0 +1,58 @@
+"""As-of / range join semantics on hand-built frames (ties, no-match,
+multi-key); full-table parity vs DuckDB's native ASOF JOIN runs in
+test_oracle_parity (ev_asof_join / ev_range_count)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from btd.temporal import asof_join, range_join_count
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_ties_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (2, _ts(10), "b"), (1, _ts(2), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 5.0), (1, _ts(3), 2.0), (2, _ts(11), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r.tag: (r.v_asof, r.ts_asof)
+        for r in asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    assert got["a"] == (5.0, _ts(10))  # equal ts matches (inclusive)
+    assert got["b"] == (None, None)  # only future right rows
+    assert got["c"] == (None, None)  # right starts later
+    # all left rows survive, exactly once
+    assert len(got) == 3
+
+
+def test_range_join_count_window_edges(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(30), "a")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(30), 0.0),  # at left ts: counted
+         (1, _ts(20), 0.0),  # inside window: counted
+         (1, _ts(31), 0.0),  # future: not counted
+         (2, _ts(25), 0.0)],  # other key: not counted
+        "k long, ts timestamp, v double",
+    )
+    rows = range_join_count(
+        left, right, on="k", window_seconds=10
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_in_range == 2
+    # boundary: ts exactly window_seconds before left ts is included
+    # (window 10 catches ts=20); window 9 excludes it
+    rows = range_join_count(
+        left, right, on="k", window_seconds=9
+    ).collect()
+    assert rows[0].n_in_range == 1
+
