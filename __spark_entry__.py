@@ -157,6 +157,38 @@ def _q_ev_range_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min gap): lag -> boundary
+    flag -> running sum, one shuffle. Streaming twin: btd.streaming.
+    sessionize_stream (applyInPandasWithState)."""
+    from btd.dataops.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+def _q_ev_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP(event_type, hour) — subtotal and
+    grand-total rows with NULL group markers, like ANSI SQL."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    rolled = ev.rollup("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    # NULL-free group markers: subtotal rows get sentinels so the
+    # result sorts/hashes cleanly in any comparer
+    return rolled.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(
+            F.col("hour"), F.lit("1900-01-01 00:00:00").cast("timestamp")
+        ).alias("hour"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -280,6 +312,8 @@ def queries() -> dict[str, QueryFn]:
         "kg_turn_integrity": _q_kg_turn_integrity,
         "ev_asof_join": _q_ev_asof_join,
         "ev_range_count": _q_ev_range_count,
+        "ev_sessionize": _q_ev_sessionize,
+        "ev_rollup": _q_ev_rollup,
         **queries_dataops(),
     }
 
@@ -304,6 +338,33 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND r.ts <= l.ts
                  AND r.ts >= l.ts - INTERVAL 86400 SECOND
             GROUP BY l.event_id, l.ts, l.user_id, l.value""",
+        "ev_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                                  > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end
+            FROM s GROUP BY user_id, session_id""",
+        "ev_rollup": """
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(date_trunc('hour', ts),
+                            TIMESTAMP '1900-01-01') AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('hour', ts))""",
         "kg_turn_order": f"""{tx}
             SELECT conv_id, turn_idx,
                    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id

@@ -32,7 +32,11 @@ def _norm(v):
 
 def _canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: rows with NULLs (e.g. rollup markers) sort without
+    # None-vs-value type errors; multiset equality is unaffected
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 QUERIES = sorted(entrymod.queries())
