@@ -189,6 +189,33 @@ def _q_ev_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark percentile() ==
+    DuckDB quantile_cont, same interpolation); the approximate
+    t-digest path (approx_percentile) is the 100TB variant, traded
+    here for oracle-exact values."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("q99"),
+    )
+
+
+def _q_ev_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivoted per-user event-type counts (explicit value list — at
+    scale you always pin the pivot domain to avoid a discovery pass)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -314,6 +341,8 @@ def queries() -> dict[str, QueryFn]:
         "ev_range_count": _q_ev_range_count,
         "ev_sessionize": _q_ev_sessionize,
         "ev_rollup": _q_ev_rollup,
+        "ev_quantiles": _q_ev_quantiles,
+        "ev_pivot": _q_ev_pivot,
         **queries_dataops(),
     }
 
@@ -365,6 +394,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM events
             GROUP BY ROLLUP (event_type, date_trunc('hour', ts))""",
+        "ev_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(value, 0.5), 6) AS q50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS q75,
+                   ROUND(quantile_cont(value, 0.99), 6) AS q99
+            FROM events GROUP BY event_type""",
+        "ev_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS view
+            FROM events GROUP BY user_id""",
         "kg_turn_order": f"""{tx}
             SELECT conv_id, turn_idx,
                    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
