@@ -124,6 +124,38 @@ def _q_parse_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return A.percentages(parse_nquads(lines))
 
 
+def _q_parse_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's log-and-drop policy as a one-pass metric
+    (RDFStatement.java:57-66): valid serialized edges + 50 planted
+    malformed lines + one typed-literal line → (parsed, dropped).
+    Boolean regex matching agrees between Java regex and RE2, so the
+    oracle counts with DuckDB regexp_matches on the same pattern."""
+    from btd.parse import parse_metrics
+
+    e = edges(spark, sf)
+    lines = e.select(
+        F.when(
+            F.col("context") == "",
+            F.format_string("%s %s %s .", "subject", "predicate", "object"),
+        )
+        .otherwise(
+            F.format_string(
+                "%s %s %s %s .", "subject", "predicate", "object", "context"
+            )
+        )
+        .alias("value")
+    )
+    bad = spark.range(50).select(
+        F.concat(F.lit("malformed line "), F.col("id").cast("string")).alias(
+            "value"
+        )
+    )
+    typed = spark.range(1).select(
+        F.lit('<s> <p> "v"^^<t> .').alias("value")
+    )
+    return parse_metrics(lines.unionByName(bad).unionByName(typed))
+
+
 def _q_ev_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (custom operator — Spark has no primitive): each
     'error' event gains the same user's most recent 'click' at or
@@ -336,6 +368,7 @@ def queries() -> dict[str, QueryFn]:
         "ref_dedup": _q_dedup,
         "ref_percentages_compat": _q_percentages_compat,
         "ref_parse_roundtrip": _q_parse_roundtrip,
+        "ref_parse_metrics": _q_parse_metrics,
         "kg_turn_integrity": _q_kg_turn_integrity,
         "ev_asof_join": _q_ev_asof_join,
         "ev_range_count": _q_ev_range_count,
@@ -367,6 +400,25 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND r.ts <= l.ts
                  AND r.ts >= l.ts - INTERVAL 86400 SECOND
             GROUP BY l.event_id, l.ts, l.user_id, l.value""",
+        "ref_parse_metrics": f"""{e},
+            lines AS (
+              SELECT CASE WHEN context = ''
+                          THEN subject || ' ' || predicate || ' '
+                               || object || ' .'
+                          ELSE subject || ' ' || predicate || ' '
+                               || object || ' ' || context || ' .'
+                     END AS value
+              FROM edges
+              UNION ALL
+              SELECT 'malformed line ' || CAST(r AS VARCHAR)
+              FROM range(50) t(r)
+              UNION ALL
+              SELECT '<s> <p> "v"^^<t> .')
+            SELECT CAST(SUM(CASE WHEN regexp_matches(value, '(<[^>]+>|[a-zA-Z0-9_:]+) (<[^ ]+>) (<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) (?:(<[^>]+>) )?\\.')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS parsed,
+                   CAST(SUM(CASE WHEN regexp_matches(value, '(<[^>]+>|[a-zA-Z0-9_:]+) (<[^ ]+>) (<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) (?:(<[^>]+>) )?\\.')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+            FROM lines""",
         "ev_sessionize": """
             WITH g AS (
               SELECT user_id, ts,
