@@ -113,3 +113,56 @@ def test_parse_is_jvm_only(spark):
 )
 def test_aqe_confs(spark, conf, expected):
     assert spark.conf.get(conf) == expected
+
+
+def test_asof_join_is_single_exchange_window(spark):
+    """The as-of join must plan as union -> ONE hash exchange on the
+    key -> window, never a join of the two sides (whose plan would
+    carry a second exchange pair or, worse, a cross product)."""
+    from btd.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    l = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    r = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(asof_join(l, r, on="user_id", right_cols=["value"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 1
+    # exactly one shuffle: the hashpartitioning on the union
+    exchanges = [
+        l_ for l_ in plan.splitlines()
+        if l_.strip().startswith("(") and "Exchange" in l_ and "Reused" not in l_
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_range_join_stays_equi_keyed(spark):
+    """The bucketed range join must be an equi join on (key, bucket),
+    not a nested-loop theta join."""
+    from btd.temporal import range_join_count
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    l = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    r = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(range_join_count(l, r, on="user_id"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_prefix_filter_jaccard_has_no_cross_product(spark):
+    from btd.dataops.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(ngram_jaccard_pairs(docs, 0.5))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
