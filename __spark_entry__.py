@@ -248,6 +248,19 @@ def _q_ev_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured path: pull a typed field out of the JSON props
+    column and aggregate — JSONPath stays JVM-side (get_json_object),
+    no Python."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -376,6 +389,7 @@ def queries() -> dict[str, QueryFn]:
         "ev_rollup": _q_ev_rollup,
         "ev_quantiles": _q_ev_quantiles,
         "ev_pivot": _q_ev_pivot,
+        "ev_json_extract": _q_ev_json_extract,
         **queries_dataops(),
     }
 
@@ -419,6 +433,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN regexp_matches(value, '(<[^>]+>|[a-zA-Z0-9_:]+) (<[^ ]+>) (<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) (?:(<[^>]+>) )?\\.')
                                  THEN 0 ELSE 1 END) AS BIGINT) AS dropped
             FROM lines""",
+        "ev_json_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(COUNT(json_extract_string(props, '$.k'))
+                        AS BIGINT) AS n_with_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type""",
         "ev_sessionize": """
             WITH g AS (
               SELECT user_id, ts,
