@@ -10,7 +10,7 @@ from btd.temporal import asof_join, range_join_count
 
 
 def _ts(s):
-    return dt.datetime(2024, 1, 1, 0, 0, s)
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(seconds=s)
 
 
 def test_asof_join_ties_and_no_match(spark):
@@ -56,3 +56,45 @@ def test_range_join_count_window_edges(spark):
     ).collect()
     assert rows[0].n_in_range == 1
 
+
+
+def test_asof_join_random_vs_python(spark):
+    """Randomized as-of join vs a pure-Python oracle: many keys, dense
+    timestamp collisions between sides (but unique per (key, ts) on
+    the right, per the operator contract)."""
+    import random
+
+    rng = random.Random(13)
+    rights = {}
+    right_rows = []
+    for k in range(6):
+        for ts in rng.sample(range(100), 25):
+            v = float(rng.randint(0, 999))
+            rights[(k, ts)] = v
+            right_rows.append((k, _ts(ts), v))
+    left_rows = [
+        (k, _ts(rng.randrange(100)), i)
+        for i, k in enumerate(rng.choices(range(8), k=120))
+    ]
+    left = spark.createDataFrame(
+        left_rows, "k long, ts timestamp, row_id long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k long, ts timestamp, v double"
+    )
+    got = {
+        r.row_id: (r.v_asof, r.ts_asof)
+        for r in asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    assert len(got) == len(left_rows)
+    for k, lts, rid in left_rows:
+        lsec = lts.minute * 60 + lts.second
+        cands = [
+            (ts, v) for (rk, ts), v in rights.items()
+            if rk == k and ts <= lsec
+        ]
+        if cands:
+            bts, bv = max(cands)
+            assert got[rid] == (bv, _ts(bts)), (k, lsec)
+        else:
+            assert got[rid] == (None, None), (k, lsec)
