@@ -80,3 +80,13 @@ def test_lineage_column_written(spark, pipe_out):
         for r in df.groupBy("_lineage_part").count().withColumnRenamed("count", "n").collect()
     }
     assert got == {k: v for k, v in m["partitions"].items()}
+
+
+def test_iceberg_path_gated_off_in_sandbox(spark):
+    """No iceberg-spark-runtime jar here: have_iceberg is False and
+    write_stage takes the parquet+manifest fallback even for
+    table-identifier-looking paths under a dir (the dispatch requires
+    BOTH a catalog and a slash-free identifier)."""
+    from btd.materialize import have_iceberg
+
+    assert have_iceberg(spark) is False
