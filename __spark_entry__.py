@@ -153,7 +153,12 @@ def _q_parse_metrics(spark: SparkSession, sf: str) -> DataFrame:
     typed = spark.range(1).select(
         F.lit('<s> <p> "v"^^<t> .').alias("value")
     )
-    return parse_metrics(lines.unionByName(bad).unionByName(typed))
+    framed = spark.range(1).select(
+        F.lit('garbage <s> <p> <o> . trailing').alias("value")
+    )  # valid quad inside garbage: matches() rejects (anchored)
+    return parse_metrics(
+        lines.unionByName(bad).unionByName(typed).unionByName(framed)
+    )
 
 
 def _q_ev_asof_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -427,10 +432,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'malformed line ' || CAST(r AS VARCHAR)
               FROM range(50) t(r)
               UNION ALL
-              SELECT '<s> <p> "v"^^<t> .')
-            SELECT CAST(SUM(CASE WHEN regexp_matches(value, '(<[^>]+>|[a-zA-Z0-9_:]+) (<[^ ]+>) (<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) (?:(<[^>]+>) )?\\.')
+              SELECT '<s> <p> "v"^^<t> .'
+              UNION ALL
+              SELECT 'garbage <s> <p> <o> . trailing')
+            SELECT CAST(SUM(CASE WHEN regexp_full_match(value, '(<[^>]+>|[a-zA-Z0-9_:]+) (<[^ ]+>) (<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) (?:(<[^>]+>) )?\\.')
                                  THEN 1 ELSE 0 END) AS BIGINT) AS parsed,
-                   CAST(SUM(CASE WHEN regexp_matches(value, '(<[^>]+>|[a-zA-Z0-9_:]+) (<[^ ]+>) (<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) (?:(<[^>]+>) )?\\.')
+                   CAST(SUM(CASE WHEN regexp_full_match(value, '(<[^>]+>|[a-zA-Z0-9_:]+) (<[^ ]+>) (<[^>]+>|".*"|[a-zA-Z0-9_:]+|"[^>]*>) (?:(<[^>]+>) )?\\.')
                                  THEN 0 ELSE 1 END) AS BIGINT) AS dropped
             FROM lines""",
         "ev_json_extract": """

@@ -25,22 +25,30 @@ NQUAD_REGEX = (
     r"(?:(<[^>]+>) )?\."
 )
 
+#: The reference validates with ``matcher.matches()`` — an ANCHORED
+#: whole-line match (RDFStatement.java:54-67), not find(): a line with
+#: leading/trailing garbage around a valid quad is rejected. The
+#: anchored form keeps group numbering (non-capturing wrapper).
+NQUAD_LINE_REGEX = rf"^(?:{NQUAD_REGEX})$"
+
 
 def parse_nquads(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse a DataFrame of raw n-quad lines into ``triples(s,p,o,ctx)``.
 
     Mirrors ``RDFStatement.updateFromLine`` + ``setAll``
     (RDFStatement.java:54-76): invalid lines dropped, absent context
-    becomes ``''``. Java ``find()`` = unanchored search = ``rlike``.
+    becomes ``''``. Java ``matcher.matches()`` anchors the whole line,
+    so the pattern is wrapped ``^(?:...)$`` — garbage-framed quads are
+    rejected exactly as the reference rejects them.
     """
     v = F.col(value_col)
     return (
-        lines.where(v.rlike(NQUAD_REGEX))
+        lines.where(v.rlike(NQUAD_LINE_REGEX))
         .select(
-            F.regexp_extract(v, NQUAD_REGEX, 1).alias("subject"),
-            F.regexp_extract(v, NQUAD_REGEX, 2).alias("predicate"),
-            F.regexp_extract(v, NQUAD_REGEX, 3).alias("object"),
-            F.regexp_extract(v, NQUAD_REGEX, 4).alias("context"),
+            F.regexp_extract(v, NQUAD_LINE_REGEX, 1).alias("subject"),
+            F.regexp_extract(v, NQUAD_LINE_REGEX, 2).alias("predicate"),
+            F.regexp_extract(v, NQUAD_LINE_REGEX, 3).alias("object"),
+            F.regexp_extract(v, NQUAD_LINE_REGEX, 4).alias("context"),
         )
     )
 
@@ -58,7 +66,7 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
 def parse_metrics(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """One-pass matched/dropped line counters (the reference's log-and-
     drop policy, RDFStatement.java:57-66, as a metric instead)."""
-    ok = F.col(value_col).rlike(NQUAD_REGEX)
+    ok = F.col(value_col).rlike(NQUAD_LINE_REGEX)
     return lines.agg(
         F.sum(F.when(ok, 1).otherwise(0)).alias("parsed"),
         F.sum(F.when(ok, 0).otherwise(1)).alias("dropped"),

@@ -30,7 +30,8 @@ context_s = st.one_of(st.just(""), iri)
 
 
 def _py_parse(line: str):
-    m = _PAT.search(line)
+    # matcher.matches() in the reference = anchored whole-line match
+    m = _PAT.fullmatch(line)
     if not m:
         return None
     return (m.group(1), m.group(2), m.group(3), m.group(4) or "")
