@@ -288,6 +288,25 @@ def _q_kg_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(transcripts_from_events(spark, sf))
 
 
+def _q_kg_extract_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-windowed extraction over per-conversation turn order:
+    a pronoun turn ('It uses beacon.') planted at the end of every
+    conversation must resolve its subject from the previous turn's
+    leading token."""
+    from btd.extract.relations import extract_triples_windowed
+
+    tx = transcripts_from_events(spark, sf)
+    planted = tx.groupBy("conv_id").agg(F.max("ts").alias("ts")).select(
+        "conv_id",
+        F.lit(1000000).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("It uses beacon.").alias("text"),
+        F.lit("beacon").alias("tool"),
+        "ts",
+    )
+    return extract_triples_windowed(tx.unionByName(planted))
+
+
 def _q_kg_mentions(spark: SparkSession, sf: str) -> DataFrame:
     tx = transcripts_from_events(spark, sf)
     surfaces = [
@@ -369,6 +388,7 @@ def queries() -> dict[str, QueryFn]:
     return {
         "kg_turn_order": _q_kg_turn_order,
         "kg_extract_triples": _q_kg_extract,
+        "kg_extract_windowed": _q_kg_extract_windowed,
         "kg_mentions": _q_kg_mentions,
         "kg_components": _q_kg_components,
         "kg_same_as": _q_kg_same_as,
@@ -514,6 +534,30 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    conv_id, turn_idx
             FROM tx""",
+        "kg_extract_windowed": f"""{tx},
+            planted AS (
+              SELECT conv_id, 1000000 AS turn_idx, 'user' AS role,
+                     'It uses beacon.' AS text, 'beacon' AS tool,
+                     MAX(ts) AS ts
+              FROM tx GROUP BY conv_id),
+            allt AS (SELECT * FROM tx UNION ALL SELECT * FROM planted),
+            wt AS (SELECT conv_id, turn_idx, text,
+                          lag(text) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx, ts) AS prev
+                   FROM allt)
+            SELECT CASE WHEN text = 'It uses beacon.'
+                        THEN split_part(prev, ' ', 1)
+                        ELSE split_part(text, ' ', 1) END AS subj,
+                   CASE WHEN text LIKE '% uses %' THEN 'uses'
+                        ELSE 'met_with' END AS pred,
+                   CASE WHEN text LIKE '% uses %'
+                        THEN substr(text, strpos(text, ' uses ') + 6,
+                                    length(text) - strpos(text, ' uses ') - 6)
+                        ELSE substr(text, strpos(text, ' met with ') + 10,
+                                    length(text) - strpos(text, ' met with ') - 10)
+                   END AS obj,
+                   conv_id, turn_idx
+            FROM wt""",
         "kg_mentions": f"""{tx}
             SELECT conv_id, turn_idx, tool AS surface,
                    CAST(strpos(text, tool) - 1 AS INTEGER) AS start,

@@ -87,3 +87,53 @@ def extract_triples(transcripts: DataFrame) -> DataFrame:
             "turn_idx",
         )
     )
+
+
+#: pronoun subjects resolved from conversation context (windowed path)
+PRONOUN_SUBJECTS = ("It", "He", "She", "They")
+
+
+def extract_triples_windowed(transcripts: DataFrame) -> DataFrame:
+    """Context-windowed extraction — the north-star's "window-orders
+    turns per conversation" feeding the extractor: each turn sees the
+    previous turn's text (btd.extract.turns.with_prev_text), and a
+    pronoun-subject sentence ('It uses X.') resolves its subject to the
+    previous turn's leading entity token; pronoun turns with no
+    previous turn drop the triple. Narrow except the ONE conv_id
+    window shuffle, which every per-conversation stage shares.
+    """
+    from btd.extract.turns import with_prev_text
+
+    wt = with_prev_text(transcripts, n_prev=1)
+
+    @F.pandas_udf(_TRIPLE_ARR)
+    def _extract_ctx(text: pd.Series, prev: pd.Series) -> pd.Series:
+        def go(t: str, p):
+            out = []
+            for s, pred, o in extract_relations_py(t):
+                if s in PRONOUN_SUBJECTS:
+                    if p is None:
+                        continue
+                    s = p.split(" ")[0]
+                out.append((s, pred, o))
+            return out
+
+        return pd.Series([go(t, p) for t, p in zip(text, prev)])
+
+    # try_: first turns have an empty prev_texts array (ANSI element_at
+    # would throw on index -1); NULL means "no context"
+    prev_col = F.try_element_at(F.col("prev_texts"), F.lit(-1))
+    return (
+        wt.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(_extract_ctx(F.col("text"), prev_col)).alias("t"),
+        )
+        .select(
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            "conv_id",
+            "turn_idx",
+        )
+    )
