@@ -101,15 +101,11 @@ def _q_percentages_compat(spark: SparkSession, sf: str) -> DataFrame:
     return A.percentages(edges(spark, sf), compat="reference")
 
 
-def _q_parse_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end through the REAL n-quad regex path: serialize the
-    edges to input-shaped quad lines, re-parse with the reference
-    regex (S2/P5/F1), then aggregate — proves parse∘serialize is the
-    identity on valid quads inside the driver gate."""
-    from btd.parse import parse_nquads
-
-    e = edges(spark, sf)
-    lines = e.select(
+def _edges_to_lines(e: DataFrame) -> DataFrame:
+    """Serialize edge quads to input-shaped n-quad lines (shared by the
+    roundtrip and parse-metrics gate queries; keep in lockstep with the
+    oracle SQL CASE twin)."""
+    return e.select(
         F.when(
             F.col("context") == "",
             F.format_string("%s %s %s .", "subject", "predicate", "object"),
@@ -121,6 +117,16 @@ def _q_parse_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .alias("value")
     )
+
+
+def _q_parse_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end through the REAL n-quad regex path: serialize the
+    edges to input-shaped quad lines, re-parse with the reference
+    regex (S2/P5/F1), then aggregate — proves parse∘serialize is the
+    identity on valid quads inside the driver gate."""
+    from btd.parse import parse_nquads
+
+    lines = _edges_to_lines(edges(spark, sf))
     return A.percentages(parse_nquads(lines))
 
 
@@ -132,19 +138,7 @@ def _q_parse_metrics(spark: SparkSession, sf: str) -> DataFrame:
     oracle counts with DuckDB regexp_matches on the same pattern."""
     from btd.parse import parse_metrics
 
-    e = edges(spark, sf)
-    lines = e.select(
-        F.when(
-            F.col("context") == "",
-            F.format_string("%s %s %s .", "subject", "predicate", "object"),
-        )
-        .otherwise(
-            F.format_string(
-                "%s %s %s %s .", "subject", "predicate", "object", "context"
-            )
-        )
-        .alias("value")
-    )
+    lines = _edges_to_lines(edges(spark, sf))
     bad = spark.range(50).select(
         F.concat(F.lit("malformed line "), F.col("id").cast("string")).alias(
             "value"
@@ -190,7 +184,8 @@ def _q_ev_range_count(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     return range_join_count(
-        errors, clicks, on="user_id", window_seconds=86400
+        errors, clicks, on="user_id", window_seconds=86400,
+        left_id="event_id",
     )
 
 
@@ -462,12 +457,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lines""",
         "ev_json_extract": """
             SELECT event_type,
-                   CAST(SUM(CAST(json_extract_string(props, '$.k')
-                                 AS BIGINT)) AS BIGINT) AS sum_k,
-                   CAST(COUNT(json_extract_string(props, '$.k'))
-                        AS BIGINT) AS n_with_k,
-                   CAST(MAX(CAST(json_extract_string(props, '$.k')
-                                 AS BIGINT)) AS BIGINT) AS max_k
+                   CAST(SUM(TRY_CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT)) AS BIGINT) AS n_with_k,
+                   CAST(MAX(TRY_CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type""",
         "ev_sessionize": """
             WITH g AS (

@@ -41,36 +41,35 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    out_right = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     left_cols = left.columns
+    ld = dict(left.dtypes)
 
-    # union frame: left rows carry NULL right payloads, right rows
-    # carry NULL left payloads
-    r_payload = [F.col(c).alias(f"{c}{suffix}") for c in right_cols] + [
-        F.col(right_ts).alias(f"{right_ts}{suffix}")
-    ]
+    # The whole right payload travels as ONE struct, filled atomically
+    # by a single last(ignorenulls): filling each column independently
+    # would stitch values from DIFFERENT right rows whenever the
+    # matched row carries a NULL in some payload column (a frankenrow
+    # no real right row equals). The struct itself is non-null for
+    # every right row — even an all-NULL-fields one — so the window
+    # always picks the matched row wholesale.
+    r_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(right_ts).alias("_rts"),
+    )
     l_part = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_cols],
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(
-            f"{right_ts}{suffix}"
-        ),
+        F.lit(None)
+        .cast(right.select(r_struct.alias("_r")).schema["_r"].dataType)
+        .alias("_r"),
     )
     r_part = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[
-            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
-            for c in left_cols
-        ],
-        *r_payload,
+        *[F.lit(None).cast(ld[c]).alias(c) for c in left_cols],
+        r_struct.alias("_r"),
     )
     unioned = l_part.unionByName(r_part)
     w = (
@@ -81,12 +80,16 @@ def asof_join(
     filled = unioned.select(
         "_side",
         *left_cols,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in out_right
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    return (
+        filled.where(F.col("_side") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in right_cols],
+            F.col("_r._rts").alias(f"{right_ts}{suffix}"),
+        )
+    )
 
 
 def range_join_count(
@@ -97,6 +100,7 @@ def range_join_count(
     right_ts: str = "ts",
     window_seconds: int = 600,
     out: str = "n_in_range",
+    left_id: str | None = None,
 ) -> DataFrame:
     """Per left row: COUNT of right rows with the same key and
     ``left_ts - window <= right_ts <= left_ts`` (a trailing-window
@@ -108,12 +112,22 @@ def range_join_count(
     cross-product a raw theta-join pays — then the exact range
     predicate filters within buckets and a final aggregation restores
     one row per left row.
+
+    ``left_id``: a column that uniquely identifies left rows. Pass it
+    whenever one exists — the fallback (monotonically_increasing_id)
+    is only stable when the left plan enumerates partitions in a
+    deterministic order (true for scans; NOT guaranteed if a stage is
+    partially recomputed above an unordered shuffle, where stale and
+    fresh ids could split/merge a row's two exploded bucket copies).
     """
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
     # row id BEFORE the explode — a nondeterministic id projected in the
     # same select as a generator is evaluated per exploded copy
-    l1 = left.withColumn("_rid", F.monotonically_increasing_id())
+    if left_id is not None:
+        l1 = left.withColumn("_rid", F.col(left_id))
+    else:
+        l1 = left.withColumn("_rid", F.monotonically_increasing_id())
     l2 = l1.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_lts"),

@@ -26,7 +26,13 @@ def duck():
 
 def _norm(v):
     if isinstance(v, float):
-        return round(v, 6) if math.isfinite(v) else str(v)
+        if not math.isfinite(v):
+            return str(v)
+        v = round(v, 6)
+        # integral floats -> int: one engine may type a column BIGINT
+        # where the other types DOUBLE (5 vs 5.0, also -0.0 vs 0.0);
+        # equal values must get identical sort keys under key=repr
+        return int(v) if v == int(v) else v
     return v
 
 

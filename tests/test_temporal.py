@@ -98,3 +98,21 @@ def test_asof_join_random_vs_python(spark):
             assert got[rid] == (bv, _ts(bts)), (k, lsec)
         else:
             assert got[rid] == (None, None), (k, lsec)
+
+
+def test_asof_join_null_payload_is_atomic(spark):
+    """Regression: a matched right row whose payload column is NULL
+    must yield (v_asof=NULL, ts_asof=match ts) — not a stitched row
+    combining an older row's value with the newer row's timestamp
+    (per-column fills would do exactly that)."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 2.0), (1, _ts(8), None)],
+        "k long, ts timestamp, v double",
+    )
+    rows = asof_join(left, right, on="k", right_cols=["v"]).collect()
+    assert len(rows) == 1
+    assert rows[0].ts_asof == _ts(8)
+    assert rows[0].v_asof is None  # DuckDB ASOF semantics
