@@ -88,7 +88,9 @@ def main() -> None:
     # per task at cores-many partitions and spill; 4x cuts task state
     # below memory (measured 2.2-2.8x on those jobs at 100M statements).
     # Matches SCALE.md guidance: size partitions to the job, err high.
-    cores = args.cores or 32
+    cores = (args.cores
+             or int(os.environ.get("SPARK_GRAFT_CPUS", 0))
+             or 32)
     spark = get_spark("btd-nquad-bench", cores=cores,
                       shuffle_partitions=cores * 4)
     marker = os.path.join(CORPUS_DIR, f"_gen_{args.statements}")

@@ -63,11 +63,14 @@ class CheckpointLoop:
         self._deferred = set()
 
     def close(self, keep_last: bool = True) -> None:
-        """Free static checkpoints (and, unless ``keep_last``, the final
-        step's). Call after the last ``step()`` has been produced — its
-        materialized data no longer depends on the statics."""
+        """Free static checkpoints, any deferred prior-step blocks, and
+        (unless ``keep_last``) the final step's. Call after the last
+        ``step()`` has been produced — its materialized data no longer
+        depends on the statics."""
         self._free(self._static_ids)
         self._static_ids = set()
+        self._free(self._deferred)  # loop may exit before release_prev
+        self._deferred = set()
         if not keep_last:
             self._free(self._step_ids)
             self._step_ids = set()

@@ -326,8 +326,8 @@ def _lsh_topk_sql(dim: int = 64, k: int = 3, n_tables: int = 8,
     keys = []
     for t in range(n_tables):
         sig = " || ".join(
-            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"{plane_lit(planes[t * bits + i])}) > 0 "
+            "(CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{plane_lit(planes[t * bits + i])}), 6) > 0 "
             "THEN '1' ELSE '0' END)"
             for i in range(bits)
         )

@@ -95,8 +95,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         ex.join(doc_freq, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .where(
+            # epsilon before ceil: IEEE t*n can land just ABOVE an
+            # integer it mathematically equals (0.55*20 =
+            # 11.000000000000002), which would shorten the prefix by 1
+            # and silently lose qualifying pairs
             F.col("rn")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            <= F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + 1
         )
         .select("doc_id", "shingle")
     )

@@ -150,7 +150,11 @@ def lsh_bucket(
     def kernel(batches):
         for pdf in batches:
             Q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sig = (Q @ P) > 0  # (rows, n_tables*bits) sign bits
+            # round-6 before the sign test: a near-zero plane dot can
+            # flip sign between numpy's pairwise matmul sum and the
+            # oracle's sequential fold; discretizing both the same way
+            # (like the IVF assignment) makes the bit deterministic
+            sig = np.round(Q @ P, 6) > 0  # (rows, n_tables*bits)
             ids = pdf["vec_id"].to_numpy()
             out_ids = np.repeat(ids, n_tables)
             keys = []
@@ -165,6 +169,41 @@ def lsh_bucket(
     return emb.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, bucket string"
     )
+
+
+def _broadcast_pair_scorer(emb: DataFrame):
+    """Collect + L2-normalize the embedding matrix once, broadcast it,
+    and return a function scoring (id_a, id_b) candidate frames with an
+    Arrow-batched gather-dot (ROUND 6 — the float path _COSINE_SQL
+    mirrors). Shared by lsh_topk and ivf_topk so the oracle-critical
+    float path exists in exactly one place. Driver-side ceiling: the
+    matrix must fit in memory (~10^7 x 10^2 doubles); past that, score
+    with a cluster-keyed join instead.
+    """
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
+
+    def score_pairs(cand: DataFrame) -> DataFrame:
+        def score(batches):
+            pos = {int(v): i for i, v in enumerate(b_ids.value)}
+            Mn = b_m.value
+            for pdf in batches:
+                ia = pdf["id_a"].map(pos).to_numpy()
+                ib = pdf["id_b"].map(pos).to_numpy()
+                cos = np.round((Mn[ia] * Mn[ib]).sum(axis=1), 6)
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+                )
+
+        return cand.mapInPandas(score, "id_a long, id_b long, cosine double")
+
+    return score_pairs
 
 
 def lsh_topk(
@@ -189,33 +228,9 @@ def lsh_topk(
         .select("id_a", "id_b")
         .distinct()
     )
-    # score candidates with a vectorized gather-dot against a broadcast
-    # normalized matrix (same ROUND(,6) float path as the BLAS top-k);
-    # the fold-per-pair alternative re-joins two array columns and pays
-    # an interpreted lambda per element
-    import numpy as np
-
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.embedding for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    sc = emb.sparkSession.sparkContext
-    b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
-
-    def score(batches):
-        import pandas as pd
-
-        pos = {int(v): i for i, v in enumerate(b_ids.value)}
-        Mn = b_m.value
-        for pdf in batches:
-            ia = pdf["id_a"].map(pos).to_numpy()
-            ib = pdf["id_b"].map(pos).to_numpy()
-            cos = np.round((Mn[ia] * Mn[ib]).sum(axis=1), 6)
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
-            )
-
-    pairs = cand.mapInPandas(score, "id_a long, id_b long, cosine double")
+    # score with the shared broadcast gather-dot (one float path for
+    # every bucketed ANN variant — see _broadcast_pair_scorer)
+    pairs = _broadcast_pair_scorer(emb)(cand)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -354,10 +369,14 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via IVF: deterministic k-means buckets, each
     query probes its ``nprobe`` nearest clusters, brute force only
-    within probed buckets. The scale path when LSH bucket occupancy is
-    skewed: cluster sizes track data density, and the candidate join is
-    equi-keyed on cluster id (AQE skew-split applies). Same scoring
-    float path (broadcast gather-dot, ROUND 6) as lsh_topk/blas_topk.
+    within probed buckets. Candidate GENERATION is fully distributed
+    (equi-keyed on cluster id, AQE skew-split applies; only the k x dim
+    centroid matrix touches the driver) and beats LSH when bucket
+    occupancy should track data density. Candidate SCORING shares the
+    broadcast gather-dot with lsh_topk and therefore its driver-memory
+    ceiling (~10^7 x 10^2 dims — _broadcast_pair_scorer); beyond that,
+    swap the scorer for a join of candidates against the bucketed
+    vectors, which stays cluster-keyed.
     """
     import numpy as np
     from pyspark.sql import Window
@@ -396,25 +415,7 @@ def ivf_topk(
         .distinct()
     )
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.embedding for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    sc = emb.sparkSession.sparkContext
-    b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
-
-    def score(batches):
-        pos = {int(v): i for i, v in enumerate(b_ids.value)}
-        Mn = b_m.value
-        for pdf in batches:
-            ia = pdf["id_a"].map(pos).to_numpy()
-            ib = pdf["id_b"].map(pos).to_numpy()
-            cos = np.round((Mn[ia] * Mn[ib]).sum(axis=1), 6)
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
-            )
-
-    pairs = cand.mapInPandas(score, "id_a long, id_b long, cosine double")
+    pairs = _broadcast_pair_scorer(emb)(cand)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

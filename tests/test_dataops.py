@@ -269,13 +269,15 @@ def test_ngram_jaccard_prefix_filter_full_recall(spark):
     rng = random.Random(7)
     vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
     texts = {
-        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
         for i in range(80)
     }
     df = spark.createDataFrame(
         [(i, t) for i, t in texts.items()], "doc_id long, text string"
     )
-    for t in (0.3, 0.5, 0.8):
+    # 0.55 / 0.28 are thresholds whose IEEE t*n overshoots the true
+    # ceiling at reachable set sizes (regression for the epsilon guard)
+    for t in (0.28, 0.3, 0.5, 0.55, 0.8):
         expected = _py_jaccard_pairs(texts, t)
         got = {
             (r.id_a, r.id_b): r.jaccard
