@@ -171,37 +171,55 @@ def lsh_bucket(
     )
 
 
-def _broadcast_pair_scorer(emb: DataFrame):
-    """Collect + L2-normalize the embedding matrix once, broadcast it,
-    and return a function scoring (id_a, id_b) candidate frames with an
-    Arrow-batched gather-dot (ROUND 6 — the float path _COSINE_SQL
-    mirrors). Shared by lsh_topk and ivf_topk so the oracle-critical
-    float path exists in exactly one place. Driver-side ceiling: the
-    matrix must fit in memory (~10^7 x 10^2 doubles); past that, score
-    with a cluster-keyed join instead.
+def _pair_scorer(emb: DataFrame):
+    """Return a function scoring (id_a, id_b) candidate frames: two
+    equi-joins of the candidates against the embedding table (one per
+    side), then an Arrow-batched per-pair normalize+dot (ROUND 6 — the
+    float path _COSINE_SQL mirrors). Shared by lsh_topk and ivf_topk so
+    the oracle-critical float path exists in exactly one place.
+
+    Fully distributed: no vector data ever touches the driver — the
+    joins shuffle on vec_id (or broadcast the dimension Spark judges
+    small), so the plan scales with candidate volume, not corpus size.
+    Candidate ids absent from ``emb`` are dropped by the inner joins
+    rather than crashing the kernel.
     """
     import numpy as np
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.embedding for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    sc = emb.sparkSession.sparkContext
-    b_ids, b_m = sc.broadcast(ids), sc.broadcast(M)
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+    )
 
     def score_pairs(cand: DataFrame) -> DataFrame:
+        joined = (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select("id_a", "id_b", "_ea", "_eb")
+        )
+
         def score(batches):
-            pos = {int(v): i for i, v in enumerate(b_ids.value)}
-            Mn = b_m.value
             for pdf in batches:
-                ia = pdf["id_a"].map(pos).to_numpy()
-                ib = pdf["id_b"].map(pos).to_numpy()
-                cos = np.round((Mn[ia] * Mn[ib]).sum(axis=1), 6)
+                if len(pdf) == 0:
+                    continue
+                A = np.array(list(pdf["_ea"]), dtype=np.float64)
+                B = np.array(list(pdf["_eb"]), dtype=np.float64)
+                # per-row L2 normalize + row dot: numerically identical
+                # to the normalized-matrix gather-dot (same numpy ops,
+                # same pairwise summation), so ROUND 6 agrees with the
+                # DuckDB oracle exactly as before
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                cos = np.round((A * B).sum(axis=1), 6)
                 yield pd.DataFrame(
                     {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
                 )
 
-        return cand.mapInPandas(score, "id_a long, id_b long, cosine double")
+        return joined.mapInPandas(
+            score, "id_a long, id_b long, cosine double"
+        )
 
     return score_pairs
 
@@ -228,9 +246,9 @@ def lsh_topk(
         .select("id_a", "id_b")
         .distinct()
     )
-    # score with the shared broadcast gather-dot (one float path for
-    # every bucketed ANN variant — see _broadcast_pair_scorer)
-    pairs = _broadcast_pair_scorer(emb)(cand)
+    # score with the shared distributed join+dot (one float path for
+    # every bucketed ANN variant — see _pair_scorer)
+    pairs = _pair_scorer(emb)(cand)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -373,10 +391,8 @@ def ivf_topk(
     (equi-keyed on cluster id, AQE skew-split applies; only the k x dim
     centroid matrix touches the driver) and beats LSH when bucket
     occupancy should track data density. Candidate SCORING shares the
-    broadcast gather-dot with lsh_topk and therefore its driver-memory
-    ceiling (~10^7 x 10^2 dims — _broadcast_pair_scorer); beyond that,
-    swap the scorer for a join of candidates against the bucketed
-    vectors, which stays cluster-keyed.
+    distributed join+dot with lsh_topk (_pair_scorer) — no vector data
+    on the driver anywhere in the plan.
     """
     import numpy as np
     from pyspark.sql import Window
@@ -415,7 +431,7 @@ def ivf_topk(
         .distinct()
     )
 
-    pairs = _broadcast_pair_scorer(emb)(cand)
+    pairs = _pair_scorer(emb)(cand)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

@@ -158,6 +158,37 @@ def test_range_join_stays_equi_keyed(spark):
             or "BroadcastHashJoin" in plan)
 
 
+def test_lsh_topk_scorer_is_distributed(spark):
+    """ANN candidate scoring must be a join against the embedding
+    table, not a driver collect: constructing the lsh_topk DataFrame
+    runs ZERO Spark jobs (the old broadcast scorer collected the full
+    matrix at construction time), and the plan carries the two
+    candidate-side equi-joins with no cross product."""
+    from btd.dataops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh_lazy_probe", "assert no jobs during plan build")
+    try:
+        df = lsh_topk(emb, dim=64, k=3)
+        plan = _plan(df)
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup("lsh_lazy_probe") == []
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # candidates joined back to vectors: >= 3 joins (bucket self-join
+    # + id_a side + id_b side)
+    joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins >= 3, plan
+
+
 def test_prefix_filter_jaccard_has_no_cross_product(spark):
     from btd.dataops.dedup import ngram_jaccard_pairs
 
