@@ -15,10 +15,21 @@ Rerunning run() skips any stage whose manifest is present — the
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+#: Gazetteer bound: the mention stage compiles its trie regex from at
+#: most this many surfaces, selected by triple-mention frequency
+#: (desc), surface (asc) — a deterministic top-N aggregation, NOT an
+#: unbounded driver collect. At 10^12-turn scale the distinct-surface
+#: set is unbounded; the trie pattern + UDF closure must stay driver-
+#: sized. Truncation is logged (no silent caps).
+DEFAULT_GAZETTEER_CAP = 100_000
 
 from btd.extract.mentions import detect_mentions
 from btd.extract.relations import extract_triples
@@ -34,6 +45,7 @@ def run(
     out_dir: str,
     score_threshold: float = 0.6,
     force: bool = False,
+    gazetteer_cap: int = DEFAULT_GAZETTEER_CAP,
 ) -> dict[str, DataFrame]:
     """Run all stages; returns {stage: DataFrame} of stage outputs."""
     paths = {
@@ -69,16 +81,35 @@ def run(
 
     triples_raw = stage("triples_raw", lambda: extract_triples(transcripts))
 
-    # mention surfaces: union of extraction-observed subj/obj surfaces
+    # mention surfaces: extraction-observed subj/obj surfaces, BOUNDED
     def _mentions() -> DataFrame:
-        surfaces = [
-            r["s"]
-            for r in triples_raw.select(
+        # top-N by mention frequency (ties → lexicographic): the heavy
+        # aggregation runs on the cluster; only <= cap+1 (surface,
+        # count) rows ever reach the driver, however large the corpus.
+        # cap+1 so truncation is detected without a second count job.
+        freq = (
+            triples_raw.select(
                 F.explode(F.array("subj", "obj")).alias("s")
             )
-            .distinct()
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = (
+            freq.orderBy(F.desc("n"), F.asc("s"))
+            .limit(gazetteer_cap + 1)
             .collect()
-        ]
+        )
+        if len(top) > gazetteer_cap:
+            top = top[:gazetteer_cap]
+            log.warning(
+                "gazetteer truncated to top %d surfaces by frequency "
+                "(rarest kept: %r with %d mentions); rarer surfaces "
+                "will not get mention spans",
+                gazetteer_cap,
+                top[-1]["s"],
+                top[-1]["n"],
+            )
+        surfaces = [r["s"] for r in top]
         # regex-scan DISTINCT texts, then equi-join spans back to turns:
         # transcript corpora repeat text heavily (boilerplate tool
         # output, templated turns), so the Python-regex cost tracks

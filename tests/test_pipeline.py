@@ -82,6 +82,40 @@ def test_lineage_column_written(spark, pipe_out):
     assert got == {k: v for k, v in m["partitions"].items()}
 
 
+def test_gazetteer_cap_bounds_mention_surfaces(
+    spark, transcripts_df, tmp_path, caplog
+):
+    """The fixture's distinct surface count exceeds the cap: the
+    mention stage must (a) keep only the top-cap surfaces by frequency
+    and (b) log the truncation (no silent caps)."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from btd.extract.relations import extract_triples
+
+    cap = 3
+    freq = (
+        extract_triples(transcripts_df)
+        .select(F.explode(F.array("subj", "obj")).alias("s"))
+        .groupBy("s")
+        .count()
+    )
+    n_surfaces = freq.count()
+    assert n_surfaces > cap, "fixture must exceed the cap for this test"
+    expected = {
+        r["s"]
+        for r in freq.orderBy(F.desc("count"), F.asc("s")).limit(cap).collect()
+    }
+    with caplog.at_level(logging.WARNING, logger="btd.pipeline"):
+        res = pipeline.run(
+            spark, transcripts_df, str(tmp_path / "kg"), gazetteer_cap=cap
+        )
+        got = {r.surface for r in res["mentions"].collect()}
+    assert got <= expected
+    assert any("gazetteer truncated" in r.message for r in caplog.records)
+
+
 def test_iceberg_path_gated_off_in_sandbox(spark):
     """No iceberg-spark-runtime jar here: have_iceberg is False and
     write_stage takes the parquet+manifest fallback even for
