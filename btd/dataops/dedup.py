@@ -146,8 +146,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """LSH banding: candidate pairs sharing >= 1 band key."""
+def minhash_candidates(
+    docs: DataFrame, salt_hot_bands: int | None = None
+) -> DataFrame:
+    """LSH banding: candidate pairs sharing >= 1 band key.
+
+    ``salt_hot_bands``: replicate-salt the band self-join
+    (btd.skew.salted_self_join) for corpora where one band key goes
+    viral (boilerplate text); identical result, skew-proof shuffle."""
     sigs = minhash_signatures(docs)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = sigs.select(
@@ -170,6 +176,20 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             )
         ).alias("band_key"),
     )
+    return _band_pairs(bands, salt_hot_bands)
+
+
+def _band_pairs(
+    bands: DataFrame, salt_hot_bands: int | None = None
+) -> DataFrame:
+    """bands(doc_id, band_key) → distinct (id_a < id_b) pairs sharing a
+    band key; optionally salted (shared by minhash + simhash)."""
+    if salt_hot_bands:
+        from btd.skew import salted_self_join
+
+        return salted_self_join(
+            bands, "band_key", "doc_id", n_salts=salt_hot_bands
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -249,7 +269,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
 
 
-def simhash_near_dup(docs: DataFrame, band_bits: int = 16) -> DataFrame:
+def simhash_near_dup(
+    docs: DataFrame, band_bits: int = 16, salt_hot_bands: int | None = None
+) -> DataFrame:
     """Near-dup candidates: equal 16-bit band of the 64-bit simhash in
     any of 4 bands (classic Hamming-distance blocking)."""
     fps = simhash_fingerprints(docs)
@@ -272,13 +294,4 @@ def simhash_near_dup(docs: DataFrame, band_bits: int = 16) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, "band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
+    return _band_pairs(bands, salt_hot_bands)

@@ -62,9 +62,17 @@ def minhash_signatures(entities: DataFrame) -> DataFrame:
     return sh.groupBy("entity_id").agg(*aggs)
 
 
-def candidate_pairs(entities: DataFrame) -> DataFrame:
+def candidate_pairs(
+    entities: DataFrame, salt_hot_bands: int | None = None
+) -> DataFrame:
     """entities(entity_id, surface) → (id_a, id_b) candidate pairs,
-    id_a < id_b, deduplicated across blockers."""
+    id_a < id_b, deduplicated across blockers.
+
+    ``salt_hot_bands``: replicate-salt the band self-join over that
+    many salts (btd.skew.salted_self_join) when a viral surface form
+    makes one band's posting list swamp a reducer past what AQE
+    skew-split fixes; result is identical either way.
+    """
     ents = entities.withColumn("norm", normalize(F.col("surface")))
 
     # --- blocker 1: MinHash-LSH bands -------------------------------
@@ -100,6 +108,12 @@ def candidate_pairs(entities: DataFrame) -> DataFrame:
     )
 
     blocks = bands.unionByName(tokens)
+    if salt_hot_bands:
+        from btd.skew import salted_self_join
+
+        return salted_self_join(
+            blocks, "block_key", "entity_id", n_salts=salt_hot_bands
+        )
     a = blocks.alias("a")
     b = blocks.alias("b")
     return (

@@ -6,8 +6,10 @@ Two-level salted aggregation: groupBy(key, salt) partial counts, then
 groupBy(key) final sum — the same math as the reference's combiners
 (Percentages.java:83) but with an explicit fan-out factor for keys so
 hot that even partial aggregation leaves one reducer swamped. For
-joins, AQE skew-split (enabled in btd.session) is preferred; salting
-is for aggregations whose single hot key exceeds a partition.
+joins, AQE skew-split (enabled in btd.session) is preferred; explicit
+salting (salted_count* for aggregations, salted_self_join for band
+self-joins) is for keys so hot that even AQE's split granularity
+leaves one reducer swamped.
 """
 
 from __future__ import annotations
@@ -33,6 +35,49 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias(out))
+
+
+def salted_self_join(
+    blocks: DataFrame,
+    key: str,
+    id_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Self-join of ``blocks(key, id_col)`` on ``key`` producing
+    ordered pairs ``(id_a, id_b)`` with ``id_a < id_b``, salted against
+    hot keys (the LSH band / block-key joins in btd.link.blocking and
+    btd.dataops.dedup — a viral surface form or stopword-ish band puts
+    one key's whole posting list on one reducer).
+
+    Left rows get a deterministic salt (hash of (key, id) — no rand();
+    reruns agree); right rows are replicated once per salt, so the join
+    stays EQUI on (key, salt) and a hot key's pair workload spreads
+    over ``n_salts`` reducers. Each (left, right) row pair meets on
+    exactly one salt value, so pre-``distinct`` multiplicity — and
+    therefore the result multiset — is identical to the unsalted join.
+    Cost: the right side shuffles ``n_salts``× its size; use for band
+    joins whose posting lists are skewed, not as the default.
+    """
+    a = blocks.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("id_a"),
+        F.pmod(F.xxhash64(F.col(key), F.col(id_col)), F.lit(n_salts)).alias(
+            "_salt"
+        ),
+    )
+    b = blocks.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("id_b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")
+        ).alias("_salt"),
+    )
+    return (
+        a.join(b, ["_k", "_salt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def salted_count_distinct(
