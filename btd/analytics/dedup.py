@@ -9,8 +9,10 @@ group-to-drop job is ``dropDuplicates``.
 Serialization parity: the golden output lines are ``s p o  .`` with a
 double space (RDFStatement.toString, :139-142, with cleared context) —
 :func:`btd.parse.to_nquad_lines` reproduces that byte shape. Row order
-in the reference is descending (s,p,o) from its inverted compareTo;
-our output is order-insensitive, with an optional sort for byte-diffs.
+in the reference is descending (s,p,o) from its inverted compareTo
+(RDFStatement.java:104-120); ``order="reference"`` reproduces it for
+byte-identical part-file diffs (tested golden vs the report's
+duplicate-then-diff procedure, report/report.md:364-376).
 """
 
 from __future__ import annotations
@@ -19,14 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def remove_duplicate_triples(triples: DataFrame, sorted_output: bool = False) -> DataFrame:
-    """Distinct (subject, predicate, object); context dropped."""
+def remove_duplicate_triples(
+    triples: DataFrame, order: str | None = None
+) -> DataFrame:
+    """Distinct (subject, predicate, object); context dropped.
+
+    ``order="reference"``: descending (s,p,o) — the reference's
+    inverted compareTo shuffle order, for byte-diffable output.
+    """
     out = triples.select("subject", "predicate", "object").dropDuplicates(
         ["subject", "predicate", "object"]
     )
-    if sorted_output:
-        # Reference emits descending (s,p,o) — inverted compareTo.
+    if order == "reference":
         out = out.orderBy(
             F.desc("subject"), F.desc("predicate"), F.desc("object")
         )
+    elif order is not None:
+        raise ValueError(f"unknown order: {order!r}")
     return out

@@ -73,14 +73,31 @@ def parse_metrics(lines: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def to_nquad_lines(triples: DataFrame, clear_context: bool = True) -> DataFrame:
+def to_nquad_lines(
+    triples: DataFrame,
+    clear_context: bool = True,
+    order: str | None = None,
+) -> DataFrame:
     """Serialize triples back to n-quad lines (operator F6).
 
     Reproduces the reference's ``"%s %s %s %s ."`` format
     (RDFStatement.java:139-142) — with a cleared context this yields the
     double-space ``s p o  .`` shape the dedup job's golden output has.
+
+    ``order="reference"`` emits lines in the reference's shuffle order:
+    DESCENDING (s, p, o), from RDFStatement.compareTo's inverted
+    comparisons (RDFStatement.java:104-120) — Hadoop sorts reducer keys
+    by compareTo, so the published part files are byte-reproducible
+    only in this order. Java Text compares UTF-8 bytes; Spark's string
+    sort is the same binary order.
     """
     ctx = F.lit("") if clear_context else F.col("context")
+    if order == "reference":
+        triples = triples.orderBy(
+            F.desc("subject"), F.desc("predicate"), F.desc("object")
+        )
+    elif order is not None:
+        raise ValueError(f"unknown order: {order!r}")
     return triples.select(
         F.format_string(
             "%s %s %s %s .", "subject", "predicate", "object", ctx

@@ -87,6 +87,38 @@ def test_empty_context_roundtrip_matches_python_oracle(spark):
     assert got == ctx_counter
 
 
+def test_dedup_reference_order_bytes_golden(spark):
+    """The report's duplicate-then-diff procedure (report.md:364-376):
+    duplicate sample.txt, run dedup, and the output must byte-match the
+    deduplicated input — here strengthened to BYTE-IDENTICAL lines IN
+    ORDER: descending (s,p,o) per RDFStatement.compareTo's inverted
+    comparisons (RDFStatement.java:104-120) with the cleared-context
+    double-space toString shape (RDFStatement.java:139-142)."""
+    from btd.analytics.dedup import remove_duplicate_triples
+
+    raw = spark.read.text(SAMPLE)
+    doubled = raw.unionAll(raw)  # cat temp.txt >> sample.txt
+    assert doubled.count() == 126
+    deduped = remove_duplicate_triples(
+        parse_nquads(doubled), order="reference"
+    )
+    got = [r.value for r in to_nquad_lines(deduped).collect()]
+
+    # pure-Python oracle: distinct (s,p,o) of the single file, sorted
+    # descending, reference toString with cleared context
+    spo = {
+        (r.subject, r.predicate, r.object)
+        for r in parse_nquads(raw).collect()
+    }
+    expected = [
+        f"{s} {p} {o}  ."
+        for s, p, o in sorted(spo, reverse=True)
+    ]
+    assert got == expected  # byte-identical, order included
+    # and the report's weaker sorted-diff check holds a fortiori
+    assert sorted(got) == sorted(expected)
+
+
 def test_histogram_text_bytes_golden(spark):
     """Byte-identical TextOutputFormat shape for the degree histogram:
     sample.txt's published outdegree distribution (report.md:196-198)
