@@ -86,6 +86,30 @@ def _q_distinct_contexts_salted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_distinct_contexts_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """The report's 'bloom filter' alternative for problem 6
+    (report/report.md:453-484) as HyperLogLog++: approx_count_distinct
+    per (s,p,o). Gated EXACTLY against the count_distinct oracle — on
+    the gate corpus per-triple context cardinality is tiny (<= ~20),
+    where HLL++'s linear-counting range is deterministic-exact, so the
+    hash comparison is a real pass/fail, not a tolerance."""
+    return A.distinct_contexts_per_triple(edges(spark, sf), approximate=True)
+
+
+def _q_outdegree_hist_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe outdegree histogram: per-subject counts via two-level
+    salted aggregation (btd.skew.salted_count — the fixture's hot
+    subject spreads over 16 reducers), then the histogram of counts.
+    Shares ref_outdegree_histogram's oracle."""
+    from btd.analytics.degrees import degree_histogram
+    from btd.skew import salted_count
+
+    deg = salted_count(
+        edges(spark, sf).select("subject"), "subject", out="degree"
+    )
+    return degree_histogram(deg)
+
+
 def _q_top_contexts(spark: SparkSession, sf: str) -> DataFrame:
     return A.top_k_contexts(edges(spark, sf), 10)
 
@@ -397,6 +421,8 @@ def queries() -> dict[str, QueryFn]:
         "ref_percentages": _q_percentages,
         "ref_distinct_contexts": _q_distinct_contexts,
         "ref_distinct_contexts_salted": _q_distinct_contexts_salted,
+        "ref_distinct_contexts_hll": _q_distinct_contexts_hll,
+        "ref_outdegree_histogram_salted": _q_outdegree_hist_salted,
         "ref_top_contexts": _q_top_contexts,
         "ref_dedup": _q_dedup,
         "ref_percentages_compat": _q_percentages_compat,
@@ -637,6 +663,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, object,
                    CAST(COUNT(DISTINCT context) AS BIGINT) AS n_contexts
             FROM edges GROUP BY subject, predicate, object""",
+        # HLL++ is deterministic-exact at the gate's tiny per-triple
+        # cardinalities, so the exact-count SQL is its oracle too
+        "ref_distinct_contexts_hll": f"""{e}
+            SELECT subject, predicate, object,
+                   CAST(COUNT(DISTINCT context) AS BIGINT) AS n_contexts
+            FROM edges GROUP BY subject, predicate, object""",
+        "ref_outdegree_histogram_salted": f"""{e},
+            deg AS (SELECT subject, CAST(COUNT(*) AS BIGINT) AS degree
+                    FROM edges GROUP BY subject)
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree""",
         "ref_top_contexts": f"""{e}
             SELECT subject, predicate, object,
                    CAST(COUNT(DISTINCT context) AS BIGINT) AS n_contexts
