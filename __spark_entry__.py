@@ -355,6 +355,21 @@ def _q_kg_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(nodes, edges_df)
 
 
+def _q_kg_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same component fixture, alternating large-star/small-star
+    algorithm (O(log n) rounds regardless of diameter — the adversarial-
+    depth scale path). Shares kg_components' oracle."""
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    nid = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    nodes = nation.select(nid.alias("entity_id"))
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges_df = (
+        nation.select(nid.alias("id_b"), F.lag(nid).over(w).alias("id_a"))
+        .where(F.col("id_a").isNotNull())
+    )
+    return connected_components(nodes, edges_df, algorithm="star")
+
+
 def _kg_entity_table(spark: SparkSession, sf: str) -> DataFrame:
     tri = extract_triples(transcripts_from_events(spark, sf))
     # explode, not union-of-projections: a union's branches each
@@ -410,6 +425,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_extract_windowed": _q_kg_extract_windowed,
         "kg_mentions": _q_kg_mentions,
         "kg_components": _q_kg_components,
+        "kg_components_star": _q_kg_components_star,
         "kg_same_as": _q_kg_same_as,
         "kg_entities": _q_kg_entities,
         "kg_outdegree_histogram": _q_kg_outdegree_hist,
@@ -585,6 +601,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strpos(text, tool) - 1 + length(tool) AS INTEGER) AS "end"
             FROM tx WHERE text LIKE '% uses %'""",
         "kg_components": """
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS entity_id,
+                   MIN('n' || CAST(n_nationkey AS VARCHAR))
+                       OVER (PARTITION BY n_regionkey) AS canonical_id
+            FROM nation""",
+        "kg_components_star": """
             SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS entity_id,
                    MIN('n' || CAST(n_nationkey AS VARCHAR))
                        OVER (PARTITION BY n_regionkey) AS canonical_id

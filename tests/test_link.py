@@ -81,6 +81,70 @@ def test_connected_components(spark, edges, expected_components):
     assert got == expected_components
 
 
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_connected_components_star_parametrized(spark, algorithm):
+    """Both algorithms agree on the canonical parametrized graphs."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    expected = {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "q": "q"}
+    nodes = spark.createDataFrame(
+        [(n,) for n in expected], "entity_id string"
+    )
+    e = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(nodes, e, algorithm=algorithm).collect()
+    }
+    assert got == expected
+
+
+def test_star_cc_converges_on_1000_node_chain(spark):
+    """Adversarial deep component: a 1000-node chain has diameter 999 —
+    label propagation needs ~999 iterations, large-star/small-star must
+    finish within 25 rounds (O(log n)) and label everything with the
+    chain head."""
+    ids = [f"n{i:04d}" for i in range(1000)]
+    nodes = spark.createDataFrame([(n,) for n in ids], "entity_id string")
+    e = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(999)],
+        "id_a string, id_b string",
+    )
+    got = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(
+            nodes, e, max_iter=25, algorithm="star"
+        ).collect()
+    }
+    assert got == {n: "n0000" for n in ids}
+
+
+def test_label_and_star_agree_on_random_graph(spark):
+    """Seeded random graph (multi-component, cycles, isolated nodes):
+    identical labels from both algorithms."""
+    import random
+
+    rng = random.Random(42)
+    ids = [f"v{i:03d}" for i in range(200)]
+    edges = [
+        (rng.choice(ids), rng.choice(ids)) for _ in range(150)
+    ]
+    nodes = spark.createDataFrame([(n,) for n in ids], "entity_id string")
+    e = spark.createDataFrame(edges, "id_a string, id_b string")
+    label = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(
+            nodes, e, max_iter=50, algorithm="label"
+        ).collect()
+    }
+    star = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(
+            nodes, e, max_iter=25, algorithm="star"
+        ).collect()
+    }
+    assert star == label
+    assert len(set(label.values())) > 1  # genuinely multi-component
+
+
 def test_canonicalize_matches_gazetteer(spark, entities):
     pairs = candidate_pairs(entities)
     same_as = score_candidates(pairs, entities, 0.6)
