@@ -220,28 +220,27 @@ def _q_ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from btd.dataops.sessions import sessionize
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    return sessionize(ev, gap_minutes=30)
+    # event_id tiebreak: deterministic row order across the two window
+    # passes even if the corpus ever gains tied timestamps
+    return sessionize(ev, gap_minutes=30, tiebreak="event_id")
 
 
 def _q_ev_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical totals via ROLLUP(event_type, hour) — subtotal and
-    grand-total rows with NULL group markers, like ANSI SQL."""
+    grand-total rows marked with explicit GROUPING() flags (ANSI), so a
+    real NULL or sentinel-valued event_type in the data can never be
+    confused with a subtotal row."""
     ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
         "hour", F.date_trunc("hour", F.col("ts"))
     )
-    rolled = ev.rollup("event_type", "hour").agg(
+    return ev.rollup("event_type", "hour").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
-    )
-    # NULL-free group markers: subtotal rows get sentinels so the
-    # result sorts/hashes cleanly in any comparer
-    return rolled.select(
-        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
-        F.coalesce(
-            F.col("hour"), F.lit("1900-01-01 00:00:00").cast("timestamp")
-        ).alias("hour"),
-        "n_events",
-        "sum_value",
+        F.grouping("event_type").cast("int").alias("g_event_type"),
+        F.grouping("hour").cast("int").alias("g_hour"),
+    ).select(
+        "event_type", "hour", "g_event_type", "g_hour",
+        "n_events", "sum_value",
     )
 
 
@@ -526,9 +525,11 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS session_end
             FROM s GROUP BY user_id, session_id""",
         "ev_rollup": """
-            SELECT COALESCE(event_type, '<all>') AS event_type,
-                   COALESCE(date_trunc('hour', ts),
-                            TIMESTAMP '1900-01-01') AS hour,
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hour,
+                   CAST(GROUPING(event_type) AS INTEGER) AS g_event_type,
+                   CAST(GROUPING(date_trunc('hour', ts)) AS INTEGER)
+                       AS g_hour,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events

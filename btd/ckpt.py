@@ -8,12 +8,20 @@ long-lived cluster (or this repo's bench session) that steals storage
 from every later job — measured 2.3s → 9.2s regression on an unrelated
 aggregation after one PageRank run.
 
-``CheckpointLoop`` tracks which persisted RDDs each checkpoint created
-(by diffing ``JavaSparkContext.getPersistentRDDs`` ids) and frees a
-step's blocks as soon as the next step's checkpoint has materialized
-— eager ``localCheckpoint`` guarantees the successor no longer reads
-them. Static inputs (edge lists) stay pinned until ``close()``; the
-loop's final result keeps its checkpoint (the caller consumes it).
+``CheckpointLoop`` tracks which persisted RDD each checkpoint created
+and frees a step's blocks as soon as the next step's checkpoint has
+materialized — eager ``localCheckpoint`` guarantees the successor no
+longer reads them. Static inputs (edge lists) stay pinned until
+``close()``; the loop's final result keeps its checkpoint (the caller
+consumes it).
+
+Ownership is read off the checkpointed DataFrame itself: its analyzed
+plan is a ``LogicalRDD`` wrapping exactly the persisted RDD, so the id
+is exact even when concurrent jobs in the same SparkSession persist
+RDDs at the same time (a before/after diff of
+``getPersistentRDDs`` would mis-attribute those and later unpersist
+someone else's cache). The diff remains only as a fallback if the
+py4j plan accessor ever changes shape.
 """
 
 from __future__ import annotations
@@ -23,6 +31,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
     return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _checkpoint_owned(spark: SparkSession, df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint ``df`` and return (checkpointed df, the id set of
+    the persisted RDD it owns)."""
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint()
+    try:
+        ids = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:  # py4j internals moved: fall back to the diff
+        ids = _persistent_ids(spark) - before
+    return out, ids
 
 
 class CheckpointLoop:
@@ -36,9 +56,8 @@ class CheckpointLoop:
 
     def static(self, df: DataFrame) -> DataFrame:
         """Checkpoint a loop-invariant input; freed at ``close()``."""
-        before = _persistent_ids(self._spark)
-        out = df.localCheckpoint()
-        self._static_ids |= _persistent_ids(self._spark) - before
+        out, ids = _checkpoint_owned(self._spark, df)
+        self._static_ids |= ids
         return out
 
     def step(self, df: DataFrame, free_prev: bool = True) -> DataFrame:
@@ -47,9 +66,7 @@ class CheckpointLoop:
         Pass ``free_prev=False`` when the loop still reads the previous
         state after this call (e.g. a convergence diff), then call
         :meth:`release_prev` once done with it."""
-        before = _persistent_ids(self._spark)
-        out = df.localCheckpoint()
-        new = _persistent_ids(self._spark) - before
+        out, new = _checkpoint_owned(self._spark, df)
         if free_prev:
             self._free(self._step_ids)
         else:

@@ -37,10 +37,15 @@ def asof_join(
     Right rows should be unique per (key, ts) — with duplicates, which
     one wins is the union's sort tie, matching DuckDB's "arbitrary
     single match" but not necessarily the same arbitrary one.
+
+    Right rows with a NULL timestamp are dropped: NULLs sort first in
+    the window order and would otherwise act as an "earlier than
+    everything" state row; DuckDB/kdb ASOF never matches them.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    right = right.where(F.col(right_ts).isNotNull())
     left_cols = left.columns
     ld = dict(left.dtypes)
 

@@ -33,6 +33,30 @@ def test_asof_join_ties_and_no_match(spark):
     assert len(got) == 3
 
 
+def test_asof_join_ignores_null_right_ts(spark):
+    """A right row with NULL ts must never match (DuckDB/kdb ASOF
+    semantics) — without the filter it would sort nulls-first and act
+    as an 'earlier than everything' state row."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts(3), 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r.tag: (r.v_asof, r.ts_asof)
+        for r in asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    assert got["a"] == (2.0, _ts(3))
+    # and with ONLY a null-ts right row: no match at all
+    right2 = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, ts timestamp, v double"
+    )
+    got2 = asof_join(left, right2, on="k", right_cols=["v"]).collect()
+    assert (got2[0].v_asof, got2[0].ts_asof) == (None, None)
+
+
 def test_range_join_count_window_edges(spark):
     left = spark.createDataFrame(
         [(1, _ts(30), "a")], "k long, ts timestamp, tag string"
