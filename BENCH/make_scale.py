@@ -1,0 +1,110 @@
+"""Deterministic 10x scale-up of the driver testdata (sf0.1 -> sf1).
+
+No external data and no RNG: each table is the union of ``factor``
+key-shifted copies of the sf0.1 original. Key offsets are multiples of
+70 (= lcm(10, 7)) so the star bridge's blank-node predicates
+(o_custkey % 10, l_partkey % 7 — btd/star.py) keep their hit ratios,
+and the orders<->lineitem orderkey relationship is preserved copy-wise
+(same offset on both sides). Document texts get a per-copy suffix
+token so near-dup workload stays near-dup shaped (J ~ 0.9x across
+copies) instead of collapsing into exact 10-copy clusters; embeddings
+keep their vectors (copies rank as cosine-1 neighbors — more
+candidates, the direction a scale probe wants).
+
+Usage: python BENCH/make_scale.py [out_dir] [factor]
+Writes parquet tables under out_dir (default ./testdata_sf1).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from btd.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+#: key columns to shift per table; every listed key gets its own
+#: offset base (multiple of 70 above the column max)
+KEYED = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: shared offset bases so FK pairs shift identically
+SHARED = {
+    "o_orderkey": "orderkey",
+    "l_orderkey": "orderkey",
+    "o_custkey": "custkey",
+    "c_custkey": "custkey",
+    "l_partkey": "partkey",
+    "p_partkey": "partkey",
+    "l_suppkey": "suppkey",
+    "s_suppkey": "suppkey",
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def _base(n: int) -> int:
+    """Smallest multiple of 70 strictly above n."""
+    return ((n // 70) + 1) * 70
+
+
+def scale_table(df: DataFrame, keys: list[str], bases: dict[str, int],
+                factor: int, suffix_text: bool) -> DataFrame:
+    parts = []
+    for i in range(factor):
+        c = df
+        for k in keys:
+            off = bases[SHARED.get(k, k)] * i
+            c = c.withColumn(k, (F.col(k) + F.lit(off)).cast(df.schema[k].dataType))
+        if suffix_text and i > 0:
+            c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_sf1",
+    )
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("make-scale", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+    # one offset base per shared key family, from the column maxima
+    bases: dict[str, int] = {}
+    for tbl, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        for k in keys:
+            fam = SHARED.get(k, k)
+            mx = df.agg(F.max(k)).collect()[0][0]
+            bases[fam] = max(bases.get(fam, 0), _base(int(mx)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    for tbl in COPY_AS_IS:
+        spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{tbl}.parquet")
+    for tbl, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        scaled = scale_table(df, keys, bases, factor, tbl == "documents")
+        scaled.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+        print(tbl, spark.read.parquet(f"{out_dir}/{tbl}.parquet").count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -337,6 +337,64 @@ def _q_kg_mentions(spark: SparkSession, sf: str) -> DataFrame:
     return detect_mentions(tx.where(F.col("text").like("% uses %")), surfaces)
 
 
+def _write_transcripts_tmp(spark: SparkSession, sf: str) -> str:
+    """Materialize the derived transcripts as parquet for a file-source
+    stream (streaming sources read files, not in-memory frames)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    tmp = f"{tempfile.gettempdir()}/btd_stream_tx_{tag}"
+    transcripts_from_events(spark, sf).write.mode("overwrite").parquet(tmp)
+    return tmp
+
+
+_STREAM_SEQ = [0]
+
+
+def _q_stream_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of kg_extract_triples through the REAL Structured
+    Streaming path: file-source stream → incremental pandas-UDF
+    extraction → memory sink, drained with processAllAvailable. Shares
+    the batch extraction oracle — the stream must produce byte-equal
+    triples (stateless/narrow ⇒ append mode, no watermark)."""
+    from btd.streaming import (
+        run_to_memory,
+        stream_extract_triples,
+        stream_transcripts,
+    )
+
+    path = _write_transcripts_tmp(spark, sf)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_extract_{_STREAM_SEQ[0]}"
+    run_to_memory(stream_extract_triples(stream_transcripts(spark, path)), name)
+    return spark.table(name)
+
+
+def _q_stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming event-time windowed aggregation (10-min tumbling
+    windows + watermark) drained in complete mode so every window is
+    emitted. n_roles uses approx_count_distinct (exact distinct is
+    unsupported on streams); at role cardinality <= 3 HLL++ is
+    deterministic-exact, so the COUNT(DISTINCT) oracle is a true
+    pass/fail."""
+    from btd.streaming import (
+        run_to_memory,
+        stream_transcripts,
+        windowed_turn_counts,
+    )
+
+    path = _write_transcripts_tmp(spark, sf)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_windows_{_STREAM_SEQ[0]}"
+    run_to_memory(
+        windowed_turn_counts(stream_transcripts(spark, path)),
+        name,
+        mode="complete",
+    )
+    return spark.table(name)
+
+
 def _q_kg_components(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative connected components on a chain graph built from
     nations: consecutive nations of a region are linked, so components
@@ -444,6 +502,8 @@ def queries() -> dict[str, QueryFn]:
         "ref_parse_roundtrip": _q_parse_roundtrip,
         "ref_parse_metrics": _q_parse_metrics,
         "kg_turn_integrity": _q_kg_turn_integrity,
+        "stream_extract_triples": _q_stream_extract,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         "ev_asof_join": _q_ev_asof_join,
         "ev_range_count": _q_ev_range_count,
         "ev_sessionize": _q_ev_sessionize,
@@ -718,6 +778,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN context = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_context,
                    CAST(COUNT(*) AS BIGINT) AS total
             FROM edges""",
+        "stream_extract_triples": f"""{tx}
+            SELECT split_part(text, ' ', 1) AS subj,
+                   CASE WHEN text LIKE '% uses %' THEN 'uses'
+                        ELSE 'met_with' END AS pred,
+                   CASE WHEN text LIKE '% uses %'
+                        THEN substr(text, strpos(text, ' uses ') + 6,
+                                    length(text) - strpos(text, ' uses ') - 6)
+                        ELSE substr(text, strpos(text, ' met with ') + 10,
+                                    length(text) - strpos(text, ' met with ') - 10)
+                   END AS obj,
+                   conv_id, turn_idx
+            FROM tx""",
+        "stream_windowed_counts": f"""{tx}
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600
+                                       AS BIGINT) * 1000000)
+                       AS window_start,
+                   make_timestamp((CAST(floor(epoch(ts) / 600) * 600
+                                        AS BIGINT) + 600) * 1000000)
+                       AS window_end,
+                   conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles
+            FROM tx
+            GROUP BY 1, 2, 3""",
         "kg_turn_integrity": f"""{tx}
             SELECT conv_id,
                    CAST(COUNT(*) AS BIGINT) AS n_turns,

@@ -180,6 +180,42 @@ FROM documents CROSS JOIN unnest([0, 2]) AS t(f)
 """
 
 
+def _q_resize(spark, sf):
+    """Resize plumbing in the gate: the deterministic stand-in block-
+    averages the 16 fake-payload bytes into width*height=4 buckets.
+    Bucket value = mean of 4 consecutive bytes truncated to uint8 =
+    integer division (exact — sum/4.0 is exact in binary), so the hex
+    comparison is bit-for-bit."""
+    from btd.dataops.multimodal import resize_images, synthesize_media
+
+    rs = resize_images(synthesize_media(_docs(spark, sf)), 2, 2, fake=True)
+    return rs.select(
+        "media_id", "width", "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
+RESIZE_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 16), j ->
+             (strpos('0123456789abcdef',
+                     substr(md5(text), CAST(2 * j + 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(text), CAST(2 * j + 2 AS INT), 1)) - 1))
+             AS bytes
+  FROM documents)
+SELECT media_id,
+       CAST(2 AS INT) AS width,
+       CAST(2 AS INT) AS height,
+       array_to_string(list_transform(range(0, 4), k ->
+           lpad(lower(to_hex((bytes[4 * k + 1] + bytes[4 * k + 2]
+                              + bytes[4 * k + 3] + bytes[4 * k + 4]) // 4)),
+                2, '0')), '') AS payload_hex
+FROM b
+"""
+
+
 def _q_curation(spark, sf):
     from btd.dataops.curation import curate
 
@@ -229,6 +265,7 @@ def queries_dataops():
         "emb_ivf_topk": _q_emb_ivf_topk,
         "doc_media_features": _q_media_features,
         "doc_frame_sample": _q_frame_sample,
+        "doc_resize": _q_resize,
     }
 
 
@@ -472,6 +509,7 @@ def oracle_sql_dataops():
         "emb_ivf_topk": _ivf_topk_sql(),
         "doc_media_features": MEDIA_FEATURES_SQL,
         "doc_frame_sample": FRAME_SAMPLE_SQL,
+        "doc_resize": RESIZE_SQL,
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
