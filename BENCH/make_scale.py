@@ -7,9 +7,11 @@ key-shifted copies of the sf0.1 original. Key offsets are multiples of
 and the orders<->lineitem orderkey relationship is preserved copy-wise
 (same offset on both sides). Document texts get a per-copy suffix
 token so near-dup workload stays near-dup shaped (J ~ 0.9x across
-copies) instead of collapsing into exact 10-copy clusters; embeddings
-keep their vectors (copies rank as cosine-1 neighbors — more
-candidates, the direction a scale probe wants).
+copies) instead of collapsing into exact 10-copy clusters; embedding
+copies are cyclically rotated (same norm/distribution, decorrelated
+LSH/IVF buckets) so ANN cost scales like MORE DISTINCT vectors, not
+like a 10-deep exact-duplicate pile-up whose intra-bucket pair count
+is a quadratic artifact of the replication itself.
 
 Usage: python BENCH/make_scale.py [out_dir] [factor]
 Writes parquet tables under out_dir (default ./testdata_sf1).
@@ -69,6 +71,18 @@ def scale_table(df: DataFrame, keys: list[str], bases: dict[str, int],
             c = c.withColumn(k, (F.col(k) + F.lit(off)).cast(df.schema[k].dataType))
         if suffix_text and i > 0:
             c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
+        if "embedding" in df.columns and i > 0:
+            # cyclic rotation by a copy-specific offset: norm-preserving,
+            # deterministic, decorrelates hyperplane/centroid buckets
+            dim = 64
+            off = (i * 7) % dim
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", off + 1, dim - off),
+                    F.slice("embedding", 1, off),
+                ),
+            )
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:

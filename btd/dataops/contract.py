@@ -120,13 +120,21 @@ def _q_emb_brute_topk(spark, sf):
 
 
 def _q_emb_lsh_topk(spark, sf):
-    return lsh_topk(_emb(spark, sf), dim=64, k=3)
+    # bits auto-sizes to the corpus; at the gate corpus (sf0.01,
+    # n=500) the clamp floor yields bits=4, exactly the layout
+    # _lsh_topk_sql inlines — so the oracle stays exact while bench
+    # runs at larger sf get scale-linear bucketing
+    return lsh_topk(_emb(spark, sf), dim=64, k=3, n_tables=8)
 
 
 def _q_emb_ivf_topk(spark, sf):
     from btd.dataops.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf), k=3, n_clusters=16, n_iter=3, nprobe=4)
+    # nlist auto-sizes to max(16, round(sqrt(n))) = 22 at the gate
+    # corpus (sf0.01, n=500); the oracle twin pins the same layout.
+    # nprobe pinned for the oracle; bench runs at larger sf scale the
+    # layout as sqrt(n)
+    return ivf_topk(_emb(spark, sf), k=3, n_iter=3, nprobe=4)
 
 
 def _q_media_features(spark, sf):
@@ -506,7 +514,7 @@ def oracle_sql_dataops():
         "kg_pagerank": _pagerank_sql(),
         "doc_simhash_near_dup": _simhash_sql(),
         "emb_lsh_topk": _lsh_topk_sql(),
-        "emb_ivf_topk": _ivf_topk_sql(),
+        "emb_ivf_topk": _ivf_topk_sql(n_clusters=22),
         "doc_media_features": MEDIA_FEATURES_SQL,
         "doc_frame_sample": FRAME_SAMPLE_SQL,
         "doc_resize": RESIZE_SQL,

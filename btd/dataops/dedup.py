@@ -104,12 +104,21 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
             + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "n", "shingle")
     )
+    # length filter (exact): J >= t forces min(n)/max(n) >= t, so pairs
+    # whose shingle-set sizes differ too much never reach verification.
+    # Same epsilon guard as the prefix bound (t*n can land a hair above
+    # the integer it equals).
+    eps = 1e-9
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - eps)
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - eps)
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )

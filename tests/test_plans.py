@@ -172,7 +172,9 @@ def test_lsh_topk_scorer_is_distributed(spark):
     sc = spark.sparkContext
     sc.setJobGroup("lsh_lazy_probe", "assert no jobs during plan build")
     try:
-        df = lsh_topk(emb, dim=64, k=3)
+        # bits pinned: auto-sizing (bits=None) legitimately runs one
+        # count job; the zero-job guarantee is for pinned bucketing
+        df = lsh_topk(emb, dim=64, k=3, bits=4)
         plan = _plan(df)
     finally:
         sc.setJobGroup(None, None)
