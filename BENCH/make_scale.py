@@ -90,15 +90,21 @@ def scale_table(df: DataFrame, keys: list[str], bases: dict[str, int],
     return out
 
 
-def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+def default_out_dir() -> str:
+    return os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata_sf1",
     )
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    spark = get_spark("make-scale", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
-    # one offset base per shared key family, from the column maxima
+
+def ensure(spark, out_dir: str | None = None, factor: int = 10) -> str:
+    """Build the scaled tables if absent (idempotent; a _COMPLETE marker
+    guards against half-written dirs). Returns the directory."""
+    out_dir = out_dir or default_out_dir()
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+
     bases: dict[str, int] = {}
     for tbl, keys in KEYED.items():
         df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
@@ -116,6 +122,19 @@ def main() -> None:
         df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
         scaled = scale_table(df, keys, bases, factor, tbl == "documents")
         scaled.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+    with open(marker, "w") as f:
+        f.write(f"factor={factor} src={SRC}\n")
+    return out_dir
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else default_out_dir()
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(
+        "make-scale", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    ensure(spark, out_dir, factor)
+    for tbl in list(COPY_AS_IS) + list(KEYED):
         print(tbl, spark.read.parquet(f"{out_dir}/{tbl}.parquet").count())
     spark.stop()
 

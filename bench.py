@@ -25,6 +25,28 @@ def force(df) -> int:
     return df.count()
 
 
+def cleanup(spark) -> None:
+    """Reset cross-query session state so each timing is isolated.
+
+    Graph queries intentionally keep their FINAL localCheckpoint alive
+    for the caller (CheckpointLoop.close(keep_last=True)); in a 50-query
+    bench session those pile up and steal executor storage from later
+    queries (measured: ref_top_contexts 25 s polluted vs 4.8 s fresh).
+    Streaming gate queries also leave memory-sink temp views holding
+    their results. The bench owns the whole session, so dropping
+    everything between queries is safe and makes timings reproducible.
+    """
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in [int(i) for i in jmap.keySet().toArray()]:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+    for t in spark.catalog.listTables():
+        if t.tableType == "TEMPORARY":
+            spark.catalog.dropTempView(t.name)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -45,6 +67,7 @@ def main() -> None:
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            cleanup(spark)
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -72,21 +95,52 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     tx.unpersist()
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cores": cores,
-                "extraction_turns": n_turns,
-                "extraction_triples": n_triples,
-                "extraction_triples_per_sec": round(n_triples / best, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "extraction_turns": n_turns,
+        "extraction_triples": n_triples,
+        "extraction_triples_per_sec": round(n_triples / best, 1),
+    }
+
+    # 10x scale probe (VERDICT r1 #7): the shuffle-heavy headline subset
+    # at sf1 (deterministic 10x of sf0.1, BENCH/make_scale.py — built on
+    # first use), recorded next to the sf0.1 numbers so a regression
+    # that only shows where shuffles spill is caught round-over-round.
+    # Disable with BTD_BENCH_SCALE_PROBE=0.
+    if os.environ.get("BTD_BENCH_SCALE_PROBE", "1") != "0" and sf <= 0.2:
+        from BENCH.make_scale import ensure
+
+        probe_dir = ensure(spark)
+        subset = [
+            "ref_dedup", "ref_distinct_contexts", "ref_top_contexts",
+            "ref_outdegree_histogram", "doc_exact_dedup",
+            "doc_minhash_near_dup", "doc_simhash_near_dup",
+            "emb_lsh_topk", "emb_ivf_topk", "kg_extract_triples",
+            "kg_entities", "kg_pagerank", "ev_sessionize",
+            "ev_asof_join", "ev_range_count",
+        ]
+        cleanup(spark)
+        pt: dict[str, float] = {}
+        for name in subset:
+            t0 = time.perf_counter()
+            force(qs[name](spark, probe_dir))
+            pt[name] = round(time.perf_counter() - t0, 4)
+            cleanup(spark)
+        out["scale_probe"] = {
+            "sf": 1.0,
+            "queries": pt,
+            "value": round(sum(pt.values()), 4),
+            "note": "10x deterministic scale-up of sf0.1; compare "
+            "per-query ratios vs the main section (linear or better "
+            "= healthy; quadratic = a bucket/join layout bug)",
+        }
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -10,7 +10,20 @@ from btd.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
-    s = get_spark("btd-tests", cores=8, shuffle_partitions=8)
+    import os
+
+    if os.environ.get("BTD_TEST_VANILLA") == "1":
+        # robustness mode: the bare builder, none of btd.session's
+        # tuned confs — correctness must not depend on session tuning
+        s = (
+            SparkSession.builder.master("local[8]")
+            .appName("btd-tests-vanilla")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        s = get_spark("btd-tests", cores=8, shuffle_partitions=8)
     yield s
     s.stop()
 
