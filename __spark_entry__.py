@@ -258,6 +258,26 @@ def _q_ev_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_quantiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx (Greenwald-Khanna,
+    mergeable partial sketches — one partial-aggregated shuffle instead
+    of a full sort per group). At the gate corpus the per-group row
+    count is far below the accuracy parameter, so GK retains every
+    sample and returns the exact lower order statistic — which is
+    DuckDB's quantile_disc definition, giving a true hash oracle for
+    the approximate operator."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    args = "value, {q}, 100000"
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.expr(f"percentile_approx({args.format(q=q)})"), 6
+            ).alias(f"q{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.99)
+        ]
+    )
+
+
 def _q_ev_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivoted per-user event-type counts (explicit value list — at
     scale you always pin the pivot domain to avoid a discovery pass)."""
@@ -509,6 +529,7 @@ def queries() -> dict[str, QueryFn]:
         "ev_sessionize": _q_ev_sessionize,
         "ev_rollup": _q_ev_rollup,
         "ev_quantiles": _q_ev_quantiles,
+        "ev_quantiles_approx": _q_ev_quantiles_approx,
         "ev_pivot": _q_ev_pivot,
         "ev_json_extract": _q_ev_json_extract,
         **queries_dataops(),
@@ -600,6 +621,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS q50,
                    ROUND(quantile_cont(value, 0.75), 6) AS q75,
                    ROUND(quantile_cont(value, 0.99), 6) AS q99
+            FROM events GROUP BY event_type""",
+        "ev_quantiles_approx": """
+            SELECT event_type,
+                   ROUND(quantile_disc(value, 0.25), 6) AS q25,
+                   ROUND(quantile_disc(value, 0.5), 6) AS q50,
+                   ROUND(quantile_disc(value, 0.75), 6) AS q75,
+                   ROUND(quantile_disc(value, 0.99), 6) AS q99
             FROM events GROUP BY event_type""",
         "ev_pivot": """
             SELECT user_id,
