@@ -64,7 +64,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.name == "dedup":
                 from btd.parse import to_nquad_lines
 
-                lines = to_nquad_lines(out)
+                # reference part-file order: descending (s,p,o) from
+                # the inverted compareTo — byte-diffable vs published
+                # output (coalesce(1): one part file like one reducer)
+                lines = to_nquad_lines(out, order="reference").coalesce(1)
             elif args.name in ("outdegree", "indegree"):
                 from btd.analytics.degrees import histogram_text_lines
 
