@@ -113,9 +113,9 @@ def main() -> None:
     # that only shows where shuffles spill is caught round-over-round.
     # Disable with BTD_BENCH_SCALE_PROBE=0.
     if os.environ.get("BTD_BENCH_SCALE_PROBE", "1") != "0" and sf <= 0.2:
-        from BENCH.make_scale import ensure
-
-        probe_dir = ensure(spark)
+        # isolated + budgeted: a probe failure or overrun must never
+        # cost the main bench record (the driver needs its ONE line)
+        budget = float(os.environ.get("BTD_BENCH_PROBE_BUDGET", "180"))
         subset = [
             "ref_dedup", "ref_distinct_contexts", "ref_top_contexts",
             "ref_outdegree_histogram", "doc_exact_dedup",
@@ -124,21 +124,33 @@ def main() -> None:
             "kg_entities", "kg_pagerank", "ev_sessionize",
             "ev_asof_join", "ev_range_count",
         ]
-        cleanup(spark)
-        pt: dict[str, float] = {}
-        for name in subset:
-            t0 = time.perf_counter()
-            force(qs[name](spark, probe_dir))
-            pt[name] = round(time.perf_counter() - t0, 4)
+        try:
+            from BENCH.make_scale import ensure
+
+            probe_dir = ensure(spark)
             cleanup(spark)
-        out["scale_probe"] = {
-            "sf": 1.0,
-            "queries": pt,
-            "value": round(sum(pt.values()), 4),
-            "note": "10x deterministic scale-up of sf0.1; compare "
-            "per-query ratios vs the main section (linear or better "
-            "= healthy; quadratic = a bucket/join layout bug)",
-        }
+            pt: dict[str, float] = {}
+            skipped: list[str] = []
+            probe_t0 = time.perf_counter()
+            for name in subset:
+                if time.perf_counter() - probe_t0 > budget:
+                    skipped = subset[subset.index(name):]
+                    break
+                t0 = time.perf_counter()
+                force(qs[name](spark, probe_dir))
+                pt[name] = round(time.perf_counter() - t0, 4)
+                cleanup(spark)
+            out["scale_probe"] = {
+                "sf": 1.0,
+                "queries": pt,
+                "value": round(sum(pt.values()), 4),
+                "skipped_over_budget": skipped,
+                "note": "10x deterministic scale-up of sf0.1; compare "
+                "per-query ratios vs the main section (linear or better "
+                "= healthy; quadratic = a bucket/join layout bug)",
+            }
+        except Exception as exc:  # noqa: BLE001 — record, don't die
+            out["scale_probe"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     print(json.dumps(out))
     spark.stop()
