@@ -238,6 +238,57 @@ def _q_doc_sample(spark, sf):
     )
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination in the gate: benchmark = every 10th
+    base doc; corpus = docs_with_dups, whose planted near/exact copies
+    of those docs carry verbatim benchmark 13-grams — so the flagged
+    set is exactly benchmark members + their planted copies, with
+    exact shared-distinct-13-gram counts."""
+    from btd.dataops.curation import decontaminate
+
+    base = _docs(spark, sf)
+    bench = base.where(F.col("doc_id") % 10 == 0)
+    return decontaminate(docs_with_dups(spark, sf), bench, n=13)
+
+
+def _decontaminate_sql(n: int = 13) -> str:
+    idx = ", ".join(f"t[i + {j}]" for j in range(1, n + 1))
+    sh_of = (
+        f"list_distinct(list_transform(range(0, greatest(len(t) - {n}, 0)"
+        f" + 1), i -> concat_ws(' ', {idx})))"
+    )
+    return f"""WITH docs_plus AS ({DOCS_PLUS_SQL}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_plus),
+sh AS (SELECT doc_id, unnest({sh_of}) AS sh FROM toks),
+btoks AS (SELECT string_split(text, ' ') AS t FROM documents
+          WHERE doc_id % 10 = 0),
+bsh AS (SELECT DISTINCT unnest({sh_of}) AS sh FROM btoks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh JOIN bsh USING (sh)
+GROUP BY doc_id"""
+
+
+def _q_stratified_sample(spark, sf):
+    """Dataset-mixing primitive: 20 deterministic docs per source,
+    md5-ordered — same rows every run, every engine."""
+    from btd.dataops.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    return stratified_sample(docs, "source", 20, "doc_id")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+"""
+
+
 def _q_kg_pagerank(spark, sf):
     """PageRank over the star-schema edge graph — iterative DataFrame
     joins; oracled by the same 5 iterations unrolled as DuckDB CTEs
@@ -274,6 +325,8 @@ def queries_dataops():
         "doc_media_features": _q_media_features,
         "doc_frame_sample": _q_frame_sample,
         "doc_resize": _q_resize,
+        "doc_decontaminate": _q_decontaminate,
+        "doc_stratified_sample": _q_stratified_sample,
     }
 
 
@@ -518,6 +571,8 @@ def oracle_sql_dataops():
         "doc_media_features": MEDIA_FEATURES_SQL,
         "doc_frame_sample": FRAME_SAMPLE_SQL,
         "doc_resize": RESIZE_SQL,
+        "doc_decontaminate": _decontaminate_sql(),
+        "doc_stratified_sample": STRATIFIED_SAMPLE_SQL,
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

@@ -28,6 +28,68 @@ def deterministic_sample(
     return df.where(bucket.cast("int") < int(256 * percent / 100))
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per document, count distinct word
+    ``n``-grams it shares with ANY benchmark document — the standard
+    eval-leak check a training-data pipeline runs before tokenization
+    (a doc with n_hits > 0 contains verbatim benchmark text).
+
+    Scale shape: both sides explode to distinct n-gram shingles and
+    meet in ONE equi-join keyed on the shingle — cost tracks shingle
+    co-occurrence, never docs × benchmark. The benchmark side is
+    typically tiny (eval sets) and AQE broadcasts it; hot shingles
+    (boilerplate) are split by AQE skew handling, and a distinct on
+    the benchmark shingles keeps multiplicity from inflating counts.
+
+    Returns (doc_id, n_hits) for contaminated docs only.
+    """
+    from btd.dataops.dedup import word_shingles
+
+    doc_sh = docs.select(
+        "doc_id", F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group: str,
+    n_per_group: int,
+    key: str,
+) -> DataFrame:
+    """Deterministic top-``n_per_group`` rows per group, ordered by
+    md5(key) — the dataset-mixing primitive ("N docs per language /
+    source") with no RNG state: same rows every run, every engine.
+
+    One shuffle (window partitioned by group); the md5 order makes the
+    pick uniform-ish over the group rather than biased by ingestion
+    order. Rank ties are impossible while ``key`` is unique (md5
+    collisions aside — tie-broken by key).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(group).orderBy(h, F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
 def curate(
     docs: DataFrame,
     min_tokens: int = 50,

@@ -350,3 +350,36 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
         assert got[(mid, 0)] == payload[0:4]
         assert got[(mid, 2)] == payload[8:12]
         assert (mid, 1) not in got and (mid, 3) not in got
+
+
+def test_decontaminate_flags_verbatim_benchmark_text(spark):
+    from btd.dataops.curation import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(13))  # one exact 13-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words " + " ".join(f"c{i}" for i in range(20))),
+            (2, "leading junk " + bench_text + " trailing junk"),
+            (3, bench_text),  # the benchmark doc itself
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    got = {r.doc_id: r.n_hits for r in decontaminate(docs, bench, n=13).collect()}
+    assert 1 not in got
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_stratified_sample_counts_and_determinism(spark):
+    from btd.dataops.curation import stratified_sample
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(56)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    s1 = stratified_sample(df, "source", 10, "doc_id").collect()
+    by_src = {}
+    for r in s1:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 10      # capped
+    assert len(by_src["small"]) == 6     # whole undersized group kept
+    s2 = {(r.source, r.doc_id) for r in stratified_sample(df, "source", 10, "doc_id").collect()}
+    assert {(r.source, r.doc_id) for r in s1} == s2  # rerun-stable
