@@ -145,3 +145,39 @@ def test_histogram_text_bytes_golden(spark):
         ).collect()
     ]
     assert lines27 == ["2\t1", "3\t6", "7\t1"]
+
+
+def test_packed_parse_equals_per_group_extract(spark):
+    """The single-replace packed parse must agree with the per-group
+    regexp_extract formulation on every grammar alternative plus
+    replacement-template metacharacters in field values."""
+    from pyspark.sql import functions as F
+
+    from btd.parse import NQUAD_LINE_REGEX
+
+    lines = [
+        "<s> <p> <o> .",
+        "<s> <p> <o> <c> .",
+        '_:b1 <p> "lit with $1 and \\\\ and $0" .',
+        '<s> <p> "1999-02-24"^^<http://www.w3.org/2001/XMLSchema#date> <c> .',
+        "a:b <p> \"v\" .",
+        "malformed",
+        "garbage <s> <p> <o> . trailing",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    got = sorted(tuple(r) for r in parse_nquads(df).collect())
+    v = F.col("value")
+    ref = sorted(
+        tuple(r)
+        for r in df.where(v.rlike(NQUAD_LINE_REGEX))
+        .select(
+            *[
+                F.regexp_extract(v, NQUAD_LINE_REGEX, i).alias(c)
+                for i, c in enumerate(
+                    ("subject", "predicate", "object", "context"), 1
+                )
+            ]
+        )
+        .collect()
+    )
+    assert got == ref and len(got) == 5
