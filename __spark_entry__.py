@@ -415,6 +415,31 @@ def _q_stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator in the gate:
+    applyInPandasWithState gap-sessionization over a file-source
+    transcript stream, update-mode memory sink. The static input
+    arrives as ONE micro-batch (file source, no maxFilesPerTrigger),
+    so each session — closed or final-open — is emitted exactly once
+    and the result equals the batch formulation: a full SQL oracle for
+    the arbitrary-state operator."""
+    from btd.streaming import (
+        run_to_memory,
+        sessionize_stream,
+        stream_transcripts,
+    )
+
+    path = _write_transcripts_tmp(spark, sf)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_sessions_{_STREAM_SEQ[0]}"
+    run_to_memory(
+        sessionize_stream(stream_transcripts(spark, path), gap_minutes=30),
+        name,
+        mode="update",
+    )
+    return spark.table(name)
+
+
 def _q_kg_components(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative connected components on a chain graph built from
     nations: consecutive nations of a region are linked, so components
@@ -524,6 +549,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_turn_integrity": _q_kg_turn_integrity,
         "stream_extract_triples": _q_stream_extract,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_sessionize": _q_stream_sessionize,
         "ev_asof_join": _q_ev_asof_join,
         "ev_range_count": _q_ev_range_count,
         "ev_sessionize": _q_ev_sessionize,
@@ -818,6 +844,26 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    conv_id, turn_idx
             FROM tx""",
+        "stream_sessionize": f"""{tx},
+            g AS (
+              SELECT conv_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                                  > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM tx
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+            s AS (SELECT conv_id, ts,
+                         SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) - 1
+                             AS session_idx
+                  FROM g)
+            SELECT conv_id,
+                   CAST(session_idx AS INTEGER) AS session_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   MIN(ts) AS start_ts,
+                   MAX(ts) AS end_ts
+            FROM s GROUP BY conv_id, session_idx""",
         "stream_windowed_counts": f"""{tx}
             SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600
                                        AS BIGINT) * 1000000)
