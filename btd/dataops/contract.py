@@ -289,6 +289,78 @@ WHERE rk <= 20
 """
 
 
+def _q_chunk(spark, sf):
+    """Token-budget chunking in the gate: 40-token chunks so multi-
+    chunk docs are common at the gate corpus's doc lengths."""
+    from btd.dataops.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf), max_tokens=40)
+
+
+CHUNK_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(CAST(ceil(len(toks) / 40.0) AS INT), 1)))
+                 AS chunk_idx
+      FROM t)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * 40 + 1,
+                                  chunk_idx * 40 + 40), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_idx * 40 + 1, chunk_idx * 40 + 40))
+            AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+def _q_scrub(spark, sf):
+    """PII scrubbing in the gate: the raw docs carry no PII, so plant
+    an email + URL on every 7th doc IN-QUERY (expressed identically in
+    the SQL twin) — redacted text and removal counts must match."""
+    from btd.dataops.textstats import scrub_pii
+
+    base = _docs(spark, sf)
+    planted = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com see https://ex.org/x?q=1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return scrub_pii(planted)
+
+
+SCRUB_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact bob@example.com see https://ex.org/x?q=1'
+              ELSE text END AS text
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+         regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+              'g') AS no_email
+  FROM planted)
+SELECT doc_id,
+       regexp_replace(no_email, 'https?://[^ ]+', '<URL>', 'g')
+           AS text_scrubbed,
+       n_emails,
+       CAST(len(regexp_extract_all(no_email, 'https?://[^ ]+')) AS BIGINT)
+           AS n_urls
+FROM e
+"""
+
+
 def _q_kg_pagerank(spark, sf):
     """PageRank over the star-schema edge graph — iterative DataFrame
     joins; oracled by the same 5 iterations unrolled as DuckDB CTEs
@@ -327,6 +399,8 @@ def queries_dataops():
         "doc_resize": _q_resize,
         "doc_decontaminate": _q_decontaminate,
         "doc_stratified_sample": _q_stratified_sample,
+        "doc_chunk": _q_chunk,
+        "doc_scrub_pii": _q_scrub,
     }
 
 
@@ -573,6 +647,8 @@ def oracle_sql_dataops():
         "doc_resize": RESIZE_SQL,
         "doc_decontaminate": _decontaminate_sql(),
         "doc_stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "doc_chunk": CHUNK_SQL,
+        "doc_scrub_pii": SCRUB_SQL,
         "doc_exact_dedup": f"""{d}
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

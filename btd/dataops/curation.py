@@ -28,6 +28,43 @@ def deterministic_sample(
     return df.where(bucket.cast("int") < int(256 * percent / 100))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's whitespace tokens into consecutive
+    ``max_tokens``-sized chunks — the pre-tokenization packing step of
+    a training pipeline (sequence models take bounded windows).
+
+    Pure Catalyst: one explode of a per-doc chunk-index sequence + a
+    slice per chunk; narrow (no shuffle), so it scales with the scan.
+    Returns (doc_id, chunk_idx, chunk_text, n_tokens); a document
+    shorter than ``max_tokens`` yields exactly one chunk.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil(n / F.lit(float(max_tokens))).cast("int"), F.lit(1)
+    )
+    with_idx = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(
+        F.col("_toks"),
+        F.col("chunk_idx") * max_tokens + 1,
+        F.lit(max_tokens),
+    )
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+        F.size(sl).cast("long").alias("n_tokens"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -85,3 +85,31 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+#: PII patterns — RE2-safe (no backrefs/lookarounds) so Java regex and
+#: DuckDB's RE2 agree byte-for-byte on matches.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^ ]+"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and URLs (the minimum-viable PII pass a
+    training-data pipeline runs before publication) and count what was
+    removed per document — counts are the audit trail, redaction order
+    is emails first so URL redaction can't consume an email's domain.
+
+    Narrow (no shuffle): two regexp_replace + two regexp_count per row,
+    all JVM-side. Returns (doc_id, text_scrubbed, n_emails, n_urls).
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_REGEX)).cast("long")
+    no_email = F.regexp_replace(t, EMAIL_REGEX, "<EMAIL>")
+    n_urls = F.regexp_count(no_email, F.lit(URL_REGEX)).cast("long")
+    scrubbed = F.regexp_replace(no_email, URL_REGEX, "<URL>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+    )

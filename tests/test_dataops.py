@@ -383,3 +383,42 @@ def test_stratified_sample_counts_and_determinism(spark):
     assert len(by_src["small"]) == 6     # whole undersized group kept
     s2 = {(r.source, r.doc_id) for r in stratified_sample(df, "source", 10, "doc_id").collect()}
     assert {(r.source, r.doc_id) for r in s1} == s2  # rerun-stable
+
+
+def test_chunk_documents_partitions_tokens_exactly(spark):
+    from btd.dataops.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, max_tokens=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    # 25 tokens -> 10, 10, 5
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0].chunk_text.split(" ") == [f"w{i}" for i in range(10)]
+    assert by_doc[1][2].n_tokens == 5
+    # reassembling chunks gives back the document
+    assert " ".join(by_doc[1][i].chunk_text for i in (0, 1, 2)) == text
+    assert by_doc[2][0].chunk_text == "short doc" and by_doc[2][0].n_tokens == 2
+    assert list(by_doc[3]) == [0]  # empty doc still yields one chunk
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from btd.dataops.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and x@y.io see https://a.b/c?d=1 end"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].n_emails == 2 and got[1].n_urls == 1
+    assert got[1].text_scrubbed == "mail <EMAIL> and <EMAIL> see <URL> end"
+    assert got[2].n_emails == 0 and got[2].n_urls == 0
+    assert got[2].text_scrubbed == "nothing sensitive here"
