@@ -440,6 +440,55 @@ def _q_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup in the gate: the transcript stream is
+    unioned with ITSELF (every row a duplicate) and dropDuplicates
+    against the state store must restore exactly one row per
+    (conv_id, turn_idx) — then aggregated per conversation so the
+    oracle compares a stable shape."""
+    from btd.streaming import dedup_stream, run_to_memory, stream_transcripts
+
+    path = _write_transcripts_tmp(spark, sf)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_dedup_{_STREAM_SEQ[0]}"
+    s = stream_transcripts(spark, path)
+    run_to_memory(dedup_stream(s.unionByName(s)), name)
+    deduped = spark.table(name)
+    return deduped.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_distinct("turn_idx").alias("n_distinct_turns"),
+    )
+
+
+def _q_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join in the gate: streaming turns
+    broadcast-joined to a static tool dimension (derived from events),
+    aggregated per tool category."""
+    from btd.streaming import enrich_stream, run_to_memory, stream_transcripts
+
+    path = _write_transcripts_tmp(spark, sf)
+    dim = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(F.col("event_type").alias("tool"))
+        .distinct()
+        .withColumn(
+            "tool_category",
+            F.when(F.length("tool") > 5, "long").otherwise("short"),
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_enrich_{_STREAM_SEQ[0]}"
+    run_to_memory(enrich_stream(stream_transcripts(spark, path), dim), name)
+    return (
+        spark.table(name)
+        .groupBy("tool_category")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_distinct("tool").alias("n_tools"),
+        )
+    )
+
+
 def _q_kg_components(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative connected components on a chain graph built from
     nations: consecutive nations of a region are linked, so components
@@ -550,6 +599,8 @@ def queries() -> dict[str, QueryFn]:
         "stream_extract_triples": _q_stream_extract,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_sessionize": _q_stream_sessionize,
+        "stream_dedup": _q_stream_dedup,
+        "stream_enrich": _q_stream_enrich,
         "ev_asof_join": _q_ev_asof_join,
         "ev_range_count": _q_ev_range_count,
         "ev_sessionize": _q_ev_sessionize,
@@ -864,6 +915,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS start_ts,
                    MAX(ts) AS end_ts
             FROM s GROUP BY conv_id, session_idx""",
+        "stream_dedup": f"""{tx}
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT turn_idx) AS BIGINT)
+                       AS n_distinct_turns
+            FROM tx GROUP BY conv_id""",
+        "stream_enrich": f"""{tx},
+            dim AS (SELECT DISTINCT event_type AS tool,
+                           CASE WHEN length(event_type) > 5
+                                THEN 'long' ELSE 'short' END AS tool_category
+                    FROM events)
+            SELECT d.tool_category,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT t.tool) AS BIGINT) AS n_tools
+            FROM tx t LEFT JOIN dim d USING (tool)
+            GROUP BY d.tool_category""",
         "stream_windowed_counts": f"""{tx}
             SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600
                                        AS BIGINT) * 1000000)

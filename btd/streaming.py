@@ -158,3 +158,26 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def dedup_stream(transcripts: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: first occurrence of each
+    (conv_id, turn_idx) wins, later duplicates are dropped against the
+    streaming state store — the incremental form of the batch
+    dropDuplicates the curation chain runs. Unbounded state without a
+    watermark; production pairs this with ``withWatermark`` on ts so
+    keys older than the horizon are evicted (exactness then holds for
+    duplicates arriving within the watermark, which is the delivery
+    guarantee a replayed transcript log actually needs).
+    """
+    return transcripts.dropDuplicates(["conv_id", "turn_idx"])
+
+
+def enrich_stream(transcripts: DataFrame, tool_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each streaming turn gains its
+    tool's dimension attributes. The static side is re-read per
+    micro-batch and broadcast (dimension ≪ stream); no state store —
+    the canonical fact-stream × dim-table shape."""
+    from pyspark.sql import functions as F
+
+    return transcripts.join(F.broadcast(tool_dim), "tool", "left")
