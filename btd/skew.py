@@ -23,12 +23,21 @@ def salted_count(
 ) -> DataFrame:
     """COUNT(*) per key, skew-safe.
 
-    Salt = a deterministic hash of the whole row spread over n_salts
-    buckets (no rand() — reruns must agree). Stage 1 shuffles on
-    (key, salt) so a hot key spreads over n_salts reducers; stage 2
-    shuffles only the n_salts partial rows per key.
+    Salt = a deterministic hash of the whole row PLUS the input
+    partition id, spread over n_salts buckets. No rand(): a retried
+    task recomputes identical salts (spark_partition_id is stable per
+    task), so shuffle retries can't double/drop rows. The partition-id
+    term matters when the caller projected the frame down to the key
+    column alone — a row hash would then be a pure function of the
+    key (one salt per key, zero spreading; caught in the round-2
+    self-review); with it, a hot key's rows still fan out across as
+    many salts as input partitions. Stage 1 shuffles on (key, salt) so
+    a hot key spreads over reducers; stage 2 shuffles only the salt
+    partials per key.
     """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("_salt")
+    salt = F.pmod(
+        F.xxhash64(*df.columns) + F.spark_partition_id(), F.lit(n_salts)
+    ).alias("_salt")
     partial = (
         df.select(key, salt)
         .groupBy(key, "_salt")

@@ -95,10 +95,17 @@ def sessionize_stream(transcripts: DataFrame, gap_minutes: int = 30) -> DataFram
         )
         rows = []
         if len(ts):
-            # vectorized session boundaries within the batch
-            new_sess = ts.diff() > gap
+            # vectorized session boundaries within the batch. Gap test
+            # on SECOND-floored timestamps — the batch twin
+            # (btd.dataops.sessions, unix_timestamp) and the SQL
+            # oracles (floor(epoch(ts))) compare whole seconds, so
+            # sub-second data must not split sessions differently here
+            tsf = ts.dt.floor("s")
+            new_sess = tsf.diff() > gap
             if en is not None:
-                new_sess.iloc[0] = (ts.iloc[0] - en) > gap
+                new_sess.iloc[0] = (
+                    tsf.iloc[0] - pd.Timestamp(en).floor("s")
+                ) > gap
             sess_of = new_sess.cumsum()
             for s_off, grp in ts.groupby(sess_of):
                 if s_off == 0 and en is not None:

@@ -84,3 +84,42 @@ def test_sessionize_across_batches(spark, staged_input):
             assert n == len(sess), (conv, si)
             assert st == T0 + dt.timedelta(minutes=sess[0])
             assert en == T0 + dt.timedelta(minutes=sess[-1])
+
+
+def test_stream_gap_uses_whole_seconds_like_batch(spark, tmp_path):
+    """Sub-second timestamps: a raw gap of 1800.3 s whose FLOORED
+    gap is exactly 1800 s must stay ONE session, matching the batch
+    twin's unix_timestamp (whole-second) comparison and the SQL
+    oracle's floor(epoch()) arithmetic."""
+    rows = [
+        {
+            "conv_id": "c",
+            "turn_idx": i,
+            "role": "user",
+            "text": "t",
+            "tool": "",
+            "ts": ts,
+        }
+        for i, ts in enumerate(
+            [
+                T0 + dt.timedelta(seconds=0, microseconds=600000),
+                # floor: 1800 - 0 = 1800, NOT > 1800 -> same session,
+                # though the raw delta is 1800.3s
+                T0 + dt.timedelta(seconds=1800, microseconds=900000),
+                # floor gap 1801 > 1800 -> new session
+                T0 + dt.timedelta(seconds=3601, microseconds=950000),
+            ]
+        )
+    ]
+    src = str(tmp_path / "tx")
+    spark.createDataFrame(rows, TRANSCRIPTS).write.parquet(src)
+    run_to_memory(
+        sessionize_stream(stream_transcripts(spark, src), 30),
+        "subsec_sessions",
+        mode="update",
+    )
+    got = {
+        (r.conv_id, r.session_idx): r.n_turns
+        for r in spark.table("subsec_sessions").collect()
+    }
+    assert got == {("c", 0): 2, ("c", 1): 1}

@@ -23,6 +23,28 @@ def test_salted_count_equiv(spark, triples_df):
     assert max(direct.values()) > 100  # fixture really is skewed
 
 
+def test_salted_count_spreads_key_only_frame(spark):
+    """A frame projected down to the key column alone must STILL
+    spread a hot key over multiple salts (regression: a pure row-hash
+    salt was a function of the key, one group per key)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).repartition(8).select(F.lit("hot").alias("k"))
+    salted = {r.k: r.cnt for r in salted_count(df, "k").collect()}
+    assert salted == {"hot": 2000}
+    n_groups = (
+        df.select(
+            "k",
+            F.pmod(
+                F.xxhash64("k") + F.spark_partition_id(), F.lit(16)
+            ).alias("s"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_groups > 1, "hot key still funnels to a single salt"
+
+
 def _unsalted_pairs(blocks):
     a = blocks.alias("a")
     b = blocks.alias("b")
