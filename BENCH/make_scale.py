@@ -98,11 +98,17 @@ def default_out_dir() -> str:
 
 
 def ensure(spark, out_dir: str | None = None, factor: int = 10) -> str:
-    """Build the scaled tables if absent (idempotent; a _COMPLETE marker
-    guards against half-written dirs). Returns the directory."""
+    """Build the scaled tables if absent (idempotent). Completeness =
+    the _COMPLETE marker AND every table directory actually present —
+    a marker alone can lie (e.g. the data was cleaned while the marker
+    survived), and trusting it would hand callers a missing-path
+    error mid-bench."""
     out_dir = out_dir or default_out_dir()
     marker = os.path.join(out_dir, "_COMPLETE")
-    if os.path.exists(marker):
+    tables = list(COPY_AS_IS) + list(KEYED)
+    if os.path.exists(marker) and all(
+        os.path.isdir(os.path.join(out_dir, f"{t}.parquet")) for t in tables
+    ):
         return out_dir
 
     bases: dict[str, int] = {}
