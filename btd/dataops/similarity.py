@@ -382,7 +382,9 @@ def ivf_train(emb: DataFrame, n_clusters: int = 16, n_iter: int = 3):
     C /= np.linalg.norm(C, axis=1, keepdims=True)
     dim = C.shape[1]
 
-    n = normalized(emb)
+    # persist across the Lloyd iterations: each assignment pass would
+    # otherwise re-run the scan + normalize subtree (n_iter re-reads)
+    n = normalized(emb).persist()
     for _ in range(n_iter):
         rank = ivf_assign_kernel(C)
 
@@ -410,6 +412,7 @@ def ivf_train(emb: DataFrame, n_clusters: int = 16, n_iter: int = 3):
             if nv > 0:
                 newC[c] = vec / nv
         C = newC
+    n.unpersist()
     return C
 
 
