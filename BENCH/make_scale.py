@@ -99,17 +99,22 @@ def default_out_dir() -> str:
 
 def ensure(spark, out_dir: str | None = None, factor: int = 10) -> str:
     """Build the scaled tables if absent (idempotent). Completeness =
-    the _COMPLETE marker AND every table directory actually present —
-    a marker alone can lie (e.g. the data was cleaned while the marker
-    survived), and trusting it would hand callers a missing-path
-    error mid-bench."""
+    the _COMPLETE marker recording THIS (factor, src) AND every table
+    directory actually present — a marker alone can lie (the data was
+    cleaned while the marker survived), and a marker from a different
+    factor/src (e.g. a CLI build at factor=3) would silently skew the
+    bench scale-probe ratios if reused (ADVICE r2)."""
     out_dir = out_dir or default_out_dir()
     marker = os.path.join(out_dir, "_COMPLETE")
     tables = list(COPY_AS_IS) + list(KEYED)
-    if os.path.exists(marker) and all(
-        os.path.isdir(os.path.join(out_dir, f"{t}.parquet")) for t in tables
-    ):
-        return out_dir
+    if os.path.exists(marker):
+        with open(marker) as f:
+            recorded = f.read().strip()
+        if recorded == f"factor={factor} src={SRC}" and all(
+            os.path.isdir(os.path.join(out_dir, f"{t}.parquet"))
+            for t in tables
+        ):
+            return out_dir
 
     bases: dict[str, int] = {}
     for tbl, keys in KEYED.items():

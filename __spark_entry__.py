@@ -370,12 +370,16 @@ def _write_transcripts_tmp(spark: SparkSession, sf: str) -> str:
     Written once per (process, sf): five streaming gate queries share
     one derive+write instead of each paying it — and a same-process
     cache (not an on-disk marker) means a stale directory from an older
-    code version can never poison a fresh run."""
+    code version can never poison a fresh run. The path mixes in the
+    pid so two concurrent processes on the same sf (e.g. bench +
+    pytest) can never overwrite a directory the other's streaming
+    query is mid-read on (ADVICE r2)."""
     import hashlib
+    import os as _os
     import tempfile
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    tmp = f"{tempfile.gettempdir()}/btd_stream_tx_{tag}"
+    tmp = f"{tempfile.gettempdir()}/btd_stream_tx_{_os.getpid()}_{tag}"
     if tmp not in _TX_WRITTEN:
         transcripts_from_events(spark, sf).write.mode("overwrite").parquet(
             tmp
@@ -539,11 +543,20 @@ def _kg_entity_table(spark: SparkSession, sf: str) -> DataFrame:
     tri = extract_triples(transcripts_from_events(spark, sf))
     # explode, not union-of-projections: a union's branches each
     # re-evaluate the pandas-UDF extraction subtree; explode reads it
-    # once (same distinct surfaces either way)
+    # once (same distinct surfaces either way). persist(): downstream
+    # the tiny entity table feeds blocking (2 subtrees), scoring (2
+    # broadcast sides) and canonicalization (nodes + final join) — up
+    # to 6 re-runs of the extraction UDF without it. Spark's
+    # CacheManager dedupes by canonicalized plan, so kg_same_as and
+    # kg_entities share ONE materialization per session; the pipeline
+    # proper gets the same effect from its stage writes
+    # (btd/pipeline.py), and bench.py's cleanup() unpersists between
+    # timed queries.
     return (
         tri.select(F.explode(F.array("subj", "obj")).alias("surface"))
         .distinct()
         .withColumn("entity_id", F.col("surface"))
+        .persist()
     )
 
 

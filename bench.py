@@ -120,7 +120,8 @@ def main() -> None:
             "ref_dedup", "ref_distinct_contexts", "ref_top_contexts",
             "ref_outdegree_histogram", "doc_exact_dedup",
             "doc_minhash_near_dup", "doc_simhash_near_dup",
-            "emb_lsh_topk", "emb_ivf_topk", "kg_extract_triples",
+            "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_near_dup",
+            "kg_extract_triples",
             "kg_entities", "kg_pagerank", "ev_sessionize",
             "ev_asof_join", "ev_range_count",
         ]
@@ -154,7 +155,37 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, don't die
             out["scale_probe"] = {"error": f"{type(exc).__name__}: {exc}"}
 
-    print(json.dumps(out))
+    # Full record (probe per-query timings, notes) → file; stdout ends
+    # with ONE compact line that fits the driver's 2000-char stdout-tail
+    # capture (round 2 lost its own total to tail truncation: the full
+    # ~4 KB JSON line started before the tail window opened).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH", "last_run.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": out["sf"],
+        "cores": out["cores"],
+        "extraction_triples_per_sec": out["extraction_triples_per_sec"],
+        "full_record": "BENCH/last_run.json",
+    }
+    sp = out.get("scale_probe")
+    if isinstance(sp, dict) and "value" in sp:
+        compact["scale_probe"] = {
+            "sf": sp["sf"],
+            "value": sp["value"],
+            "n_queries": len(sp["queries"]),
+        }
+    elif isinstance(sp, dict):
+        compact["scale_probe"] = {"error": str(sp.get("error"))[:80]}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1950:  # stay inside the tail window, never die here
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
     spark.stop()
 
 

@@ -18,7 +18,14 @@ from btd.dataops.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup,
 )
-from btd.dataops.similarity import blas_near_dup, blas_topk, lsh_topk
+from btd.dataops.similarity import (
+    auto_lsh_bits,
+    auto_nlist,
+    blas_near_dup,
+    blas_topk,
+    lsh_near_dup,
+    lsh_topk,
+)
 from btd.dataops.textstats import (
     fingerprints,
     language_id,
@@ -107,9 +114,38 @@ def _emb(spark, sf):
     )
 
 
+def _pinned_layout(actual: int, pinned: int, rule: str) -> int:
+    """The ANN gate oracles inline the bucket layout the auto-sizing
+    rules yield at the gate corpus (n=500 vectors → lsh bits=4, ivf
+    nlist=22). Derive the value from the SAME auto rule on the ACTUAL
+    corpus and fail loudly on drift — a silent desync between Spark's
+    layout and the DuckDB twin's would otherwise read as a data bug."""
+    if actual != pinned:
+        raise AssertionError(
+            f"gate oracle pins {rule}={pinned} but the auto rule yields "
+            f"{actual} on this corpus — re-pin the oracle SQL to match"
+        )
+    return actual
+
+
 def _q_emb_near_dup(spark, sf):
+    """Scale-path near-dup gate: LSH-bucketed candidate gen + the
+    shared distributed join+dot scorer + threshold — zero full-matrix
+    collect anywhere in the plan. The oracle replicates the
+    deterministic bucketing exactly (same inlined hyperplanes), so the
+    approximate operator is hash-gated exactly; blas_near_dup stays
+    gated as the labeled exact baseline (emb_cosine_near_dup_exact)
+    and the recall floor vs it is pytest-asserted."""
+    emb = _emb(spark, sf)
+    bits = _pinned_layout(auto_lsh_bits(emb.count()), 4, "lsh bits")
+    return lsh_near_dup(emb, dim=64, threshold=0.45, n_tables=8, bits=bits)
+
+
+def _q_emb_near_dup_exact(spark, sf):
     # blas kernel: identical output to the fold-per-pair cosine_near_dup
-    # (cross-validated in tests), ~10x faster at bench scale
+    # (cross-validated in tests), ~10x faster single-node — the labeled
+    # EXACT baseline (documented broadcast ceiling ~10^7 × 10^2);
+    # emb_cosine_near_dup above is the bucketed 100 TB path
     return blas_near_dup(_emb(spark, sf), 0.45)
 
 
@@ -120,21 +156,23 @@ def _q_emb_brute_topk(spark, sf):
 
 
 def _q_emb_lsh_topk(spark, sf):
-    # bits auto-sizes to the corpus; at the gate corpus (sf0.01,
-    # n=500) the clamp floor yields bits=4, exactly the layout
-    # _lsh_topk_sql inlines — so the oracle stays exact while bench
-    # runs at larger sf get scale-linear bucketing
-    return lsh_topk(_emb(spark, sf), dim=64, k=3, n_tables=8)
+    # bits derived from the auto rule on the actual corpus; the gate
+    # asserts it equals the layout _lsh_topk_sql inlines (bits=4 at
+    # n=500) — bench runs at larger sf get scale-linear bucketing
+    emb = _emb(spark, sf)
+    bits = _pinned_layout(auto_lsh_bits(emb.count()), 4, "lsh bits")
+    return lsh_topk(emb, dim=64, k=3, n_tables=8, bits=bits)
 
 
 def _q_emb_ivf_topk(spark, sf):
     from btd.dataops.similarity import ivf_topk
 
-    # nlist auto-sizes to max(16, round(sqrt(n))) = 22 at the gate
-    # corpus (sf0.01, n=500); the oracle twin pins the same layout.
-    # nprobe pinned for the oracle; bench runs at larger sf scale the
-    # layout as sqrt(n)
-    return ivf_topk(_emb(spark, sf), k=3, n_iter=3, nprobe=4)
+    # nlist derived from the auto sqrt(n) rule on the actual corpus;
+    # asserted equal to the layout the oracle twin unrolls (22 at
+    # n=500). nprobe pinned for the oracle
+    emb = _emb(spark, sf)
+    nlist = _pinned_layout(auto_nlist(emb.count()), 22, "ivf nlist")
+    return ivf_topk(emb, k=3, n_clusters=nlist, n_iter=3, nprobe=4)
 
 
 def _q_media_features(spark, sf):
@@ -391,6 +429,7 @@ def queries_dataops():
         "doc_language_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
         "emb_cosine_near_dup": _q_emb_near_dup,
+        "emb_cosine_near_dup_exact": _q_emb_near_dup_exact,
         "emb_brute_force_topk": _q_emb_brute_topk,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -482,12 +521,12 @@ FROM bands a JOIN bands b USING (band_key)
 WHERE a.doc_id < b.doc_id"""
 
 
-def _lsh_topk_sql(dim: int = 64, k: int = 3, n_tables: int = 8,
-                  bits: int = 4) -> str:
-    """DuckDB twin of btd.dataops.similarity.lsh_topk: the
-    deterministic md5-derived hyperplanes are inlined as literal
-    DOUBLE[] (Python repr round-trips exactly), bucketing and
-    within-bucket scoring replicated verbatim."""
+def _lsh_cand_sql(dim: int, n_tables: int, bits: int, pair_op: str) -> str:
+    """buckets + cand CTE bodies shared by the LSH top-k and near-dup
+    oracles: the deterministic md5-derived hyperplanes inlined as
+    literal DOUBLE[] (Python repr round-trips exactly), bucketing
+    replicated verbatim. ``pair_op``: '!=' for directed top-k pairs,
+    '<' for undirected near-dup pairs."""
     from btd.dataops.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_tables * bits)
@@ -504,13 +543,21 @@ def _lsh_topk_sql(dim: int = 64, k: int = 3, n_tables: int = 8,
             for i in range(bits)
         )
         keys.append(f"'{t}:' || {sig}")
-    return f"""WITH {_COSINE_SQL},
-buckets AS (SELECT vec_id,
+    return f"""buckets AS (SELECT vec_id,
                    unnest([{", ".join(keys)}]) AS bucket
             FROM embeddings),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM buckets a JOIN buckets b USING (bucket)
-         WHERE a.vec_id != b.vec_id),
+         WHERE a.vec_id {pair_op} b.vec_id)"""
+
+
+def _lsh_topk_sql(dim: int = 64, k: int = 3, n_tables: int = 8,
+                  bits: int = 4) -> str:
+    """DuckDB twin of btd.dataops.similarity.lsh_topk: deterministic
+    bucketing (``_lsh_cand_sql``) and within-bucket scoring replicated
+    verbatim."""
+    return f"""WITH {_COSINE_SQL},
+{_lsh_cand_sql(dim, n_tables, bits, "!=")},
 scored AS (SELECT c.id_a, c.id_b, p.cosine
            FROM cand c JOIN pairs p
              ON p.id_a = c.id_a AND p.id_b = c.id_b),
@@ -519,6 +566,20 @@ ranked AS (SELECT id_a, id_b, cosine,
                        ORDER BY cosine DESC, id_b) AS INTEGER) AS rank
            FROM scored)
 SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+def _lsh_near_dup_sql(dim: int = 64, threshold: float = 0.45,
+                      n_tables: int = 8, bits: int = 4) -> str:
+    """DuckDB twin of btd.dataops.similarity.lsh_near_dup: the SAME
+    deterministic bucketing + exact per-candidate scoring + threshold.
+    An exact oracle of the approximate operator — the candidate set is
+    replicated, not approximated, so the hash comparison is a true
+    pass/fail."""
+    return f"""WITH {_COSINE_SQL},
+{_lsh_cand_sql(dim, n_tables, bits, "<")}
+SELECT c.id_a, c.id_b, p.cosine
+FROM cand c JOIN pairs p ON p.id_a = c.id_a AND p.id_b = c.id_b
+WHERE p.cosine >= {threshold!r}"""
 
 
 def _ivf_topk_sql(
@@ -728,7 +789,8 @@ def oracle_sql_dataops():
                    md5(array_to_string(list_sort(list_distinct(
                        string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents""",
-        "emb_cosine_near_dup": f"""WITH {_COSINE_SQL}
+        "emb_cosine_near_dup": _lsh_near_dup_sql(),
+        "emb_cosine_near_dup_exact": f"""WITH {_COSINE_SQL}
             SELECT id_a, id_b, cosine FROM pairs
             WHERE id_a < id_b AND cosine >= 0.45""",
         "emb_brute_force_topk": f"""WITH {_COSINE_SQL},

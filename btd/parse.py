@@ -66,14 +66,31 @@ def parse_nquads(lines: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+def read_nquads(
+    spark: SparkSession, path: str, min_partitions: int | None = None
+) -> DataFrame:
     """Scan text/gz n-quad files → triples DF (operator S1+S2).
 
-    Gzip is decoded transparently; like the reference
-    (report/report.md:539-552) one .gz file = one input split, so at
-    scale prefer many files or decompress-then-repartition.
+    Gzip is decoded transparently, but a .gz file is UNSPLITTABLE —
+    one file = one task, the parallelism ceiling the reference hit on
+    its S3 chunks (report/report.md:539-552: the job ran on exactly
+    as many mappers as files). ``min_partitions`` is the
+    decompress-then-repartition escape hatch: when the scan yields
+    fewer partitions than requested, the RAW LINES are round-robin
+    repartitioned BEFORE the regex parse, so the expensive part (the
+    anchored-NFA match + extract) runs at full parallelism. The
+    exchange moves each line's bytes exactly once — strictly cheaper
+    than single-threading the regex over a 100 GB decompressed file.
+    A well-split input (many files / splittable codec) passes through
+    untouched, keeping scan-fused parse for the common case.
     """
-    return parse_nquads(spark.read.text(path))
+    lines = spark.read.text(path)
+    if (
+        min_partitions is not None
+        and lines.rdd.getNumPartitions() < min_partitions
+    ):
+        lines = lines.repartition(min_partitions)
+    return parse_nquads(lines)
 
 
 def parse_metrics(lines: DataFrame, value_col: str = "value") -> DataFrame:

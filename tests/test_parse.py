@@ -181,3 +181,33 @@ def test_packed_parse_equals_per_group_extract(spark):
         .collect()
     )
     assert got == ref and len(got) == 5
+
+
+def test_gz_decompress_then_repartition(spark, tmp_path):
+    """The reference's splittability ceiling (report/report.md:539-552:
+    one .gz file = one split = one mapper) and the engine's escape
+    hatch: a single-gz scan yields 1 partition; min_partitions
+    repartitions the raw lines before the regex parse so the NFA work
+    parallelizes. Result rows are identical either way."""
+    import gzip
+
+    from btd.fixtures import gen_triples, to_lines
+
+    rows = gen_triples(300, seed=11)
+    gz = tmp_path / "quads.nq.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(to_lines(rows)) + "\n")
+
+    ceiling = read_nquads(spark, str(gz))
+    assert ceiling.rdd.getNumPartitions() == 1  # the reference's trap
+
+    fanned = read_nquads(spark, str(gz), min_partitions=8)
+    assert fanned.rdd.getNumPartitions() == 8
+    assert (
+        sorted(map(tuple, fanned.collect()))
+        == sorted(map(tuple, ceiling.collect()))
+    )
+
+    # a well-split input passes through untouched (no gratuitous shuffle)
+    well_split = read_nquads(spark, SAMPLE, min_partitions=1)
+    assert "Exchange" not in well_split._jdf.queryExecution().executedPlan().toString()
