@@ -183,6 +183,45 @@ def _q_parse_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SINK_SEQ = [0]
+
+
+def _sink_roundtrip(spark: SparkSession, sf: str, codec: str | None) -> DataFrame:
+    """S3/S4 sinks in the driver gate (round 3 — previously
+    pytest-golden only): serialize the edges to input-shaped n-quad
+    lines, write them through the REAL text sink (gzip codec for S4),
+    re-read with read_nquads and aggregate. The gz variant re-reads
+    with ``min_partitions`` so the decompress-then-repartition escape
+    hatch for unsplittable gz inputs is itself driver-gated. Write
+    target is pid+seq-unique under tempdir (same hygiene as the
+    streaming gate's transcript materialization)."""
+    import os as _os
+    import tempfile
+
+    from btd.parse import read_nquads
+
+    _SINK_SEQ[0] += 1
+    tmp = (
+        f"{tempfile.gettempdir()}/btd_sink_{_os.getpid()}_{_SINK_SEQ[0]}"
+    )
+    w = _edges_to_lines(edges(spark, sf)).write.mode("overwrite")
+    if codec:
+        w = w.option("compression", codec)
+    w.text(tmp)
+    parsed = read_nquads(
+        spark, tmp, min_partitions=8 if codec else None
+    )
+    return A.percentages(parsed)
+
+
+def _q_text_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    return _sink_roundtrip(spark, sf, None)
+
+
+def _q_gzip_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    return _sink_roundtrip(spark, sf, "gzip")
+
+
 def _q_ev_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (custom operator — Spark has no primitive): each
     'error' event gains the same user's most recent 'click' at or
@@ -569,7 +608,12 @@ def _q_kg_same_as(spark: SparkSession, sf: str) -> DataFrame:
     from btd.link.scoring import score_candidates
 
     ents = _kg_entity_table(spark, sf)
-    return score_candidates(candidate_pairs(ents), ents, 0.6)
+    # block purging ON (the 100 TB configuration): no-op at the gate
+    # corpus (max block 11 ≪ 128, oracle exact); at the 10× probe it
+    # cuts the hot-band pair explosion (57× pairs at 10× entities)
+    return score_candidates(
+        candidate_pairs(ents, max_block_size=128), ents, 0.6
+    )
 
 
 def _q_kg_entities(spark: SparkSession, sf: str) -> DataFrame:
@@ -580,7 +624,9 @@ def _q_kg_entities(spark: SparkSession, sf: str) -> DataFrame:
     from btd.link.scoring import score_candidates
 
     ents = _kg_entity_table(spark, sf)
-    same = score_candidates(candidate_pairs(ents), ents, 0.6)
+    same = score_candidates(
+        candidate_pairs(ents, max_block_size=128), ents, 0.6
+    )
     return canonicalize_entities(ents, same)
 
 
@@ -622,6 +668,8 @@ def queries() -> dict[str, QueryFn]:
         "ref_percentages_compat": _q_percentages_compat,
         "ref_parse_roundtrip": _q_parse_roundtrip,
         "ref_parse_metrics": _q_parse_metrics,
+        "ref_text_sink_roundtrip": _q_text_sink_roundtrip,
+        "ref_gzip_sink_roundtrip": _q_gzip_sink_roundtrip,
         "kg_turn_integrity": _q_kg_turn_integrity,
         "stream_extract_triples": _q_stream_extract,
         "stream_windowed_counts": _q_stream_windowed_counts,
@@ -899,6 +947,20 @@ def oracle_sql() -> dict[str, str]:
         "ref_percentages_compat": f"""{e}
             SELECT CAST(SUM(CASE WHEN substr(subject, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_subject,
                    CAST(SUM(CASE WHEN substr(subject, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_object,
+                   CAST(SUM(CASE WHEN context = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_context,
+                   CAST(COUNT(*) AS BIGINT) AS total
+            FROM edges""",
+        # valid quads survive serialize→sink→scan→regex-parse unchanged,
+        # so the sink roundtrips share the plain-percentages oracle
+        "ref_text_sink_roundtrip": f"""{e}
+            SELECT CAST(SUM(CASE WHEN substr(subject, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_subject,
+                   CAST(SUM(CASE WHEN substr(object, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_object,
+                   CAST(SUM(CASE WHEN context = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_context,
+                   CAST(COUNT(*) AS BIGINT) AS total
+            FROM edges""",
+        "ref_gzip_sink_roundtrip": f"""{e}
+            SELECT CAST(SUM(CASE WHEN substr(subject, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_subject,
+                   CAST(SUM(CASE WHEN substr(object, 1, 1) = '_' THEN 1 ELSE 0 END) AS BIGINT) AS blank_object,
                    CAST(SUM(CASE WHEN context = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_context,
                    CAST(COUNT(*) AS BIGINT) AS total
             FROM edges""",

@@ -114,31 +114,42 @@ def _emb(spark, sf):
     )
 
 
-def _pinned_layout(actual: int, pinned: int, rule: str) -> int:
-    """The ANN gate oracles inline the bucket layout the auto-sizing
-    rules yield at the gate corpus (n=500 vectors → lsh bits=4, ivf
-    nlist=22). Derive the value from the SAME auto rule on the ACTUAL
-    corpus and fail loudly on drift — a silent desync between Spark's
-    layout and the DuckDB twin's would otherwise read as a data bug."""
-    if actual != pinned:
-        raise AssertionError(
-            f"gate oracle pins {rule}={pinned} but the auto rule yields "
-            f"{actual} on this corpus — re-pin the oracle SQL to match"
-        )
-    return actual
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _gate_corpus_n() -> int:
+    """Vector count of the DRIVER'S correctness-gate corpus (the driver
+    compares queries() against oracle_sql() at sf0.01). The ANN oracle
+    twins must unroll exactly the bucket layout the auto-sizing rules
+    hand Spark on that corpus; deriving n here (a parquet-footer read,
+    no Spark) keeps oracle and query in lockstep BY CONSTRUCTION even
+    if the gate testdata is regenerated at a different size — the
+    previous inlined constants (bits=4, nlist=22) would have silently
+    desynced (ADVICE r2). The Spark queries auto-size from whatever
+    corpus they are handed, so bench runs at sf0.1/sf1 keep their
+    scale-linear layouts without consulting this."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            f"{GATE_SF_DIR}/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        # importable without the testdata mount (fresh clone): the
+        # historical gate size; the driver environment always has it
+        return 500
 
 
 def _q_emb_near_dup(spark, sf):
     """Scale-path near-dup gate: LSH-bucketed candidate gen + the
     shared distributed join+dot scorer + threshold — zero full-matrix
     collect anywhere in the plan. The oracle replicates the
-    deterministic bucketing exactly (same inlined hyperplanes), so the
-    approximate operator is hash-gated exactly; blas_near_dup stays
-    gated as the labeled exact baseline (emb_cosine_near_dup_exact)
-    and the recall floor vs it is pytest-asserted."""
-    emb = _emb(spark, sf)
-    bits = _pinned_layout(auto_lsh_bits(emb.count()), 4, "lsh bits")
-    return lsh_near_dup(emb, dim=64, threshold=0.45, n_tables=8, bits=bits)
+    deterministic bucketing exactly (same hyperplanes, same auto-sized
+    bit width), so the approximate operator is hash-gated exactly;
+    blas_near_dup stays gated as the labeled exact baseline
+    (emb_cosine_near_dup_exact) and the recall floor vs it is
+    pytest-asserted."""
+    return lsh_near_dup(_emb(spark, sf), dim=64, threshold=0.45, n_tables=8)
 
 
 def _q_emb_near_dup_exact(spark, sf):
@@ -156,23 +167,20 @@ def _q_emb_brute_topk(spark, sf):
 
 
 def _q_emb_lsh_topk(spark, sf):
-    # bits derived from the auto rule on the actual corpus; the gate
-    # asserts it equals the layout _lsh_topk_sql inlines (bits=4 at
-    # n=500) — bench runs at larger sf get scale-linear bucketing
-    emb = _emb(spark, sf)
-    bits = _pinned_layout(auto_lsh_bits(emb.count()), 4, "lsh bits")
-    return lsh_topk(emb, dim=64, k=3, n_tables=8, bits=bits)
+    # bits auto-sizes to the handed corpus; the oracle twin derives
+    # ITS inlined layout from the same rule at the gate corpus
+    # (_gate_corpus_n), so the two can only agree — bench runs at
+    # larger sf get scale-linear bucketing without touching the oracle
+    return lsh_topk(_emb(spark, sf), dim=64, k=3, n_tables=8)
 
 
 def _q_emb_ivf_topk(spark, sf):
     from btd.dataops.similarity import ivf_topk
 
-    # nlist derived from the auto sqrt(n) rule on the actual corpus;
-    # asserted equal to the layout the oracle twin unrolls (22 at
-    # n=500). nprobe pinned for the oracle
-    emb = _emb(spark, sf)
-    nlist = _pinned_layout(auto_nlist(emb.count()), 22, "ivf nlist")
-    return ivf_topk(emb, k=3, n_clusters=nlist, n_iter=3, nprobe=4)
+    # nlist auto-sizes (sqrt(n) rule) to the handed corpus; the oracle
+    # twin unrolls the same rule's value at the gate corpus. nprobe
+    # pinned for the oracle
+    return ivf_topk(_emb(spark, sf), k=3, n_iter=3, nprobe=4)
 
 
 def _q_media_features(spark, sf):
@@ -701,8 +709,11 @@ def oracle_sql_dataops():
                        AS INTEGER) < 64""",
         "kg_pagerank": _pagerank_sql(),
         "doc_simhash_near_dup": _simhash_sql(),
-        "emb_lsh_topk": _lsh_topk_sql(),
-        "emb_ivf_topk": _ivf_topk_sql(n_clusters=22),
+        # ANN twins: the SAME auto-sizing rules the Spark queries use,
+        # applied to the actual gate-corpus count (ADVICE r2 — no
+        # inlined layout constants to silently desync)
+        "emb_lsh_topk": _lsh_topk_sql(bits=auto_lsh_bits(_gate_corpus_n())),
+        "emb_ivf_topk": _ivf_topk_sql(n_clusters=auto_nlist(_gate_corpus_n())),
         "doc_media_features": MEDIA_FEATURES_SQL,
         "doc_frame_sample": FRAME_SAMPLE_SQL,
         "doc_resize": RESIZE_SQL,
@@ -789,7 +800,9 @@ def oracle_sql_dataops():
                    md5(array_to_string(list_sort(list_distinct(
                        string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents""",
-        "emb_cosine_near_dup": _lsh_near_dup_sql(),
+        "emb_cosine_near_dup": _lsh_near_dup_sql(
+            bits=auto_lsh_bits(_gate_corpus_n())
+        ),
         "emb_cosine_near_dup_exact": f"""WITH {_COSINE_SQL}
             SELECT id_a, id_b, cosine FROM pairs
             WHERE id_a < id_b AND cosine >= 0.45""",

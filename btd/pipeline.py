@@ -46,6 +46,7 @@ def run(
     score_threshold: float = 0.6,
     force: bool = False,
     gazetteer_cap: int = DEFAULT_GAZETTEER_CAP,
+    max_block_size: int | None = 1024,
 ) -> dict[str, DataFrame]:
     """Run all stages; returns {stage: DataFrame} of stage outputs."""
     paths = {
@@ -136,8 +137,12 @@ def run(
         )
 
     def _same_as() -> DataFrame:
+        # block purging on by default (max_block_size): at 10^12 turns
+        # a non-discriminating block key (dense numeric-ish surfaces
+        # sharing a minhash band) otherwise grows quadratically — see
+        # btd/link/blocking.py. None disables for full-recall runs.
         ents = _entities_raw()
-        pairs = candidate_pairs(ents)
+        pairs = candidate_pairs(ents, max_block_size=max_block_size)
         return score_candidates(pairs, ents, threshold=score_threshold)
 
     same_as = stage("same_as", _same_as)

@@ -161,3 +161,33 @@ def test_canonicalize_matches_gazetteer(spark, entities):
     # deterministic election: canonical is the min surface of its cluster
     for canon, members in got.items():
         assert canon == min(members)
+
+
+def test_block_purging_noop_below_cap_and_prunes_hot_block(spark, entities):
+    """max_block_size (block purging): identical candidates when every
+    block is under the cap; a planted non-discriminating hot block
+    (300 dense numeric-ish surfaces that share minhash bands) is
+    dropped while the gazetteer's true pairs — generated by the
+    redundant name-token blocker too — all survive."""
+    base = {(r.id_a, r.id_b) for r in candidate_pairs(entities).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(entities, max_block_size=128).collect()
+    }
+    assert capped == base  # cap a no-op on the small corpus
+
+    # 300 surfaces sharing their LAST TOKEN: the name-token blocker
+    # alone makes one 300-member block -> C(300,2) = 44,850 pairs of
+    # zero discriminative value
+    hot = spark.createDataFrame(
+        [(f"u{i:04d} shared", f"u{i:04d} shared") for i in range(300)],
+        "entity_id string, surface string",
+    )
+    mixed = entities.unionByName(hot)
+    purged = candidate_pairs(mixed, max_block_size=128)
+    n_unpurged = candidate_pairs(mixed).count()
+    n_purged = purged.count()
+    assert n_purged < n_unpurged / 2  # the quadratic block is gone
+    got = {(r.id_a, r.id_b) for r in purged.collect()}
+    missing = _true_pairs() - got
+    assert not missing, f"purging lost true pairs: {missing}"
