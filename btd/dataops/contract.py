@@ -92,6 +92,17 @@ def _q_simhash_near_dup(spark, sf):
     return simhash_near_dup(docs_with_dups(spark, sf))
 
 
+def _q_dedup_groups(spark, sf):
+    """End-to-end near-dup clustering (pairs → connected components →
+    keeper election). The oracle computes the exact transitive closure
+    of the same verified pair set with a recursive CTE, so the CC
+    composition is hash-gated exactly — including the corpus's natural
+    (non-planted) near-dup pairs that make components non-cliques."""
+    from btd.dataops.dedup import near_dup_groups
+
+    return near_dup_groups(docs_with_dups(spark, sf), 0.5)
+
+
 def _q_token_stats(spark, sf):
     return token_stats(_docs(spark, sf))
 
@@ -432,6 +443,7 @@ def queries_dataops():
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_minhash_near_dup": _q_minhash_near_dup,
         "doc_simhash_near_dup": _q_simhash_near_dup,
+        "doc_dedup_groups": _q_dedup_groups,
         "doc_token_stats": _q_token_stats,
         "doc_quality_scores": _q_quality,
         "doc_language_id": _q_lang_id,
@@ -749,6 +761,33 @@ def oracle_sql_dataops():
             JOIN sh sb ON sb.doc_id = c.id_b
             WHERE ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
                         len(list_distinct(list_concat(sa.s, sb.s))), 6) >= 0.5""",
+        # transitive closure of the verified near-dup pairs via a
+        # recursive CTE — exact CC for ANY component shape (the corpus
+        # has natural near-dup pairs, so components are not cliques and
+        # a fixed-hop closure would be wrong); component sizes are tiny
+        # so the recursion is cheap in DuckDB
+        "doc_dedup_groups": f"""WITH RECURSIVE docs_plus AS ({DOCS_PLUS_SQL}), {_SHINGLES_SQL},
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sigs AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+            bands AS (SELECT doc_id, unnest([{band_list}]) AS band FROM sigs),
+            cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM bands a JOIN bands b USING (band)
+                      WHERE a.doc_id < b.doc_id),
+            p AS (SELECT c.id_a, c.id_b
+                  FROM cands c
+                  JOIN sh sa ON sa.doc_id = c.id_a
+                  JOIN sh sb ON sb.doc_id = c.id_b
+                  WHERE ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                              len(list_distinct(list_concat(sa.s, sb.s))),
+                              6) >= 0.5),
+            und AS (SELECT id_a AS a, id_b AS b FROM p
+                    UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+            reach AS (SELECT doc_id, doc_id AS nb FROM docs_plus
+                      UNION
+                      SELECT r.doc_id, u.b AS nb
+                      FROM reach r JOIN und u ON u.a = r.nb)
+            SELECT doc_id, CAST(MIN(nb) AS BIGINT) AS keep_doc_id
+            FROM reach GROUP BY doc_id""",
         "doc_token_stats": r"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

@@ -233,6 +233,34 @@ def minhash_near_dup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def near_dup_groups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Corpus-level near-duplicate clustering — the end-to-end operator
+    a dedup pipeline actually runs: MinHash-LSH candidate pairs
+    (exact-Jaccard-verified at ``threshold``) → connected components →
+    deterministic keeper election (min doc_id per component). Every doc
+    appears once with its keeper; singletons keep themselves.
+
+    Near-dup similarity is not transitive, so pair output alone
+    under-deletes (A~B, B~C but A≁C still form one group whose members
+    are mutual near-dups of the keeper's lineage); grouping is the
+    standard resolution. Composition of two scale paths: bucketed pair
+    generation (:func:`minhash_near_dup`) and label-propagation
+    connected components with checkpoint hygiene
+    (btd.link.canonical.connected_components — the same machinery as
+    entity canonicalization; components are near-dup clusters, so
+    diameter and the iteration count stay small).
+    """
+    from btd.link.canonical import connected_components
+
+    pairs = minhash_near_dup(docs, threshold)
+    nodes = docs.select(F.col("doc_id").alias("entity_id"))
+    labels = connected_components(nodes, pairs.select("id_a", "id_b"))
+    return labels.select(
+        F.col("entity_id").alias("doc_id"),
+        F.col("canonical_id").alias("keep_doc_id"),
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 

@@ -422,3 +422,28 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[1].text_scrubbed == "mail <EMAIL> and <EMAIL> see <URL> end"
     assert got[2].n_emails == 0 and got[2].n_urls == 0
     assert got[2].text_scrubbed == "nothing sensitive here"
+
+
+def test_near_dup_groups_transitive_closure(spark):
+    """Near-dup similarity is not transitive: A~B and B~C clear the
+    0.5 Jaccard bar while A~C sits at 0.33 — the pair list alone can't
+    express the cluster, the grouping operator must. One component
+    {A, B, C} with keeper = min doc_id; the unrelated doc keeps
+    itself. (Fixture pre-verified deterministic: each chain link
+    shares 2 of 4 LSH bands, so candidates can't flake.)"""
+    from btd.dataops.dedup import near_dup_groups
+
+    def words(lo, hi):
+        return " ".join(f"t{i}" for i in range(lo, hi))
+
+    docs = spark.createDataFrame(
+        [
+            (1, words(1, 11)),     # A
+            (2, words(3, 13)),     # B: J(A,B)=0.6
+            (3, words(5, 15)),     # C: J(B,C)=0.6, J(A,C)=0.33
+            (9, "zz yy xx ww vv uu tt ss"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep_doc_id for r in near_dup_groups(docs, 0.5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
