@@ -518,6 +518,35 @@ def _q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join in the gate: user turns × assistant
+    turns of the same conversation within a 30-min window, both sides
+    watermarked (bounded join state). The static input arrives in one
+    micro-batch so every match is emitted; aggregated per conversation
+    to a stable shape the static SQL self-join replicates exactly."""
+    from btd.streaming import (
+        response_join_stream,
+        run_to_memory,
+        stream_transcripts,
+    )
+
+    path = _write_transcripts_tmp(spark, sf)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_join_{_STREAM_SEQ[0]}"
+    run_to_memory(
+        response_join_stream(stream_transcripts(spark, path)), name
+    )
+    return (
+        spark.table(name)
+        .groupBy(F.col("u_conv_id").alias("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("u_turn_idx").alias("n_user_turns"),
+            F.count_distinct("a_turn_idx").alias("n_asst_turns"),
+        )
+    )
+
+
 def _q_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-static enrichment join in the gate: streaming turns
     broadcast-joined to a static tool dimension (derived from events),
@@ -676,6 +705,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_sessionize": _q_stream_sessionize,
         "stream_dedup": _q_stream_dedup,
         "stream_enrich": _q_stream_enrich,
+        "stream_join": _q_stream_join,
         "ev_asof_join": _q_ev_asof_join,
         "ev_range_count": _q_ev_range_count,
         "ev_sessionize": _q_ev_sessionize,
@@ -1010,6 +1040,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT turn_idx) AS BIGINT)
                        AS n_distinct_turns
             FROM tx GROUP BY conv_id""",
+        "stream_join": f"""{tx}
+            SELECT u.conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT u.turn_idx) AS BIGINT)
+                       AS n_user_turns,
+                   CAST(COUNT(DISTINCT a.turn_idx) AS BIGINT)
+                       AS n_asst_turns
+            FROM tx u
+            JOIN tx a ON a.conv_id = u.conv_id
+                     AND u.role = 'user' AND a.role = 'assistant'
+                     AND a.ts >= u.ts
+                     AND a.ts <= u.ts + INTERVAL 1800 SECOND
+            GROUP BY u.conv_id""",
         "stream_enrich": f"""{tx},
             dim AS (SELECT DISTINCT event_type AS tool,
                            CASE WHEN length(event_type) > 5

@@ -120,6 +120,7 @@ def main() -> None:
             "ref_dedup", "ref_distinct_contexts", "ref_top_contexts",
             "ref_outdegree_histogram", "doc_exact_dedup",
             "doc_minhash_near_dup", "doc_simhash_near_dup",
+            "doc_dedup_groups",
             "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_near_dup",
             "kg_extract_triples",
             "kg_entities", "kg_pagerank", "ev_sessionize",

@@ -119,6 +119,51 @@ def _q_fingerprints(spark, sf):
     return fingerprints(_docs(spark, sf))
 
 
+def _q_repetition(spark, sf):
+    """Repetition-filter gate: every 13th doc gets its text doubled
+    IN-QUERY (expressed identically in the SQL twin), so the operator
+    must flag exactly those docs with a dup-bigram ratio jump while
+    natural docs keep their organic values."""
+    from btd.dataops.textstats import repetition_stats
+
+    base = _docs(spark, sf)
+    planted = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat_ws(" ", F.col("text"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(planted)
+
+
+REPETITION_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
+              ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+bg AS (SELECT doc_id, len(t) AS n_tokens,
+              list_transform(range(0, greatest(len(t) - 1, 1)),
+                  i -> concat_ws(' ', t[i + 1], t[i + 2])) AS bg
+       FROM t),
+b AS (SELECT doc_id, n_tokens,
+             ROUND(1 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+                 AS dup_bigram_ratio
+      FROM bg),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(t) AS tok FROM t) GROUP BY doc_id, tok),
+tt AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_share
+       FROM tc GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+       b.dup_bigram_ratio, tt.top_token_share
+FROM b JOIN tt USING (doc_id)
+"""
+
+
 def _emb(spark, sf):
     return spark.read.parquet(f"{sf}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -448,6 +493,7 @@ def queries_dataops():
         "doc_quality_scores": _q_quality,
         "doc_language_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
+        "doc_repetition": _q_repetition,
         "emb_cosine_near_dup": _q_emb_near_dup,
         "emb_cosine_near_dup_exact": _q_emb_near_dup_exact,
         "emb_brute_force_topk": _q_emb_brute_topk,
@@ -839,6 +885,7 @@ def oracle_sql_dataops():
                    md5(array_to_string(list_sort(list_distinct(
                        string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents""",
+        "doc_repetition": REPETITION_SQL,
         "emb_cosine_near_dup": _lsh_near_dup_sql(
             bits=auto_lsh_bits(_gate_corpus_n())
         ),

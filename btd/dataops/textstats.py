@@ -113,3 +113,45 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_emails.alias("n_emails"),
         n_urls.alias("n_urls"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition signals (the Gopher / RefinedWeb
+    quality-filter family): duplicate word-bigram fraction and the
+    most-frequent-token share. High values flag boilerplate, template
+    spam, and generation loops — documents a pretraining mix drops.
+
+    Bigram dedup is per-row Catalyst (array ops, no shuffle); the
+    top-token share needs per-(doc, token) counts — explode + two
+    partial-aggregated shuffles keyed by doc_id, embarrassingly
+    parallel at any corpus size.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # n-1 bigrams for n>=2 tokens; a 1-token doc degenerates to the
+    # token itself (concat_ws skips the null neighbor) — the DuckDB
+    # twin indexes 1-based past the end to the same effect
+    bigrams = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            "transform(sequence(0, greatest(size(t) - 2, 0)),"
+            " i -> concat_ws(' ', t[i], t[i + 1]))"
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1 - F.size(F.array_distinct("bg")) / F.size("bg"), 6
+        ).alias("dup_bigram_ratio"),
+    )
+    top = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            # sum(c) = token count, so no need to carry it through
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_token_share")
+        )
+    )
+    return bigrams.join(top, "doc_id")

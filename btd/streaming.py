@@ -180,6 +180,50 @@ def dedup_stream(transcripts: DataFrame) -> DataFrame:
     return transcripts.dropDuplicates(["conv_id", "turn_idx"])
 
 
+def response_join_stream(
+    transcripts: DataFrame,
+    window_seconds: int = 1800,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream inner self-join — the canonical two-stream shape:
+    every user turn joined to its conversation's assistant turns
+    arriving within ``window_seconds`` after it ("which responses
+    answer this prompt").
+
+    BOTH sides carry an event-time watermark and the join predicate
+    time-bounds a_ts within [u_ts, u_ts + window]; together these let
+    Spark evict buffered join state once the watermark passes a row's
+    reachable window — bounded state forever, the requirement for
+    running a join over a 10^12-turn stream. Append mode: each match
+    is emitted exactly once, when both sides have arrived.
+    """
+    u = (
+        transcripts.where(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("u_conv_id"),
+            F.col("turn_idx").alias("u_turn_idx"),
+            F.col("ts").alias("u_ts"),
+        )
+        .withWatermark("u_ts", watermark)
+    )
+    a = (
+        transcripts.where(F.col("role") == "assistant")
+        .select(
+            F.col("conv_id").alias("a_conv_id"),
+            F.col("turn_idx").alias("a_turn_idx"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    return u.join(
+        a,
+        F.expr(
+            "u_conv_id = a_conv_id AND a_ts >= u_ts "
+            f"AND a_ts <= u_ts + interval {window_seconds} seconds"
+        ),
+    )
+
+
 def enrich_stream(transcripts: DataFrame, tool_dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each streaming turn gains its
     tool's dimension attributes. The static side is re-read per

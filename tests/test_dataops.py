@@ -447,3 +447,25 @@ def test_near_dup_groups_transitive_closure(spark):
     )
     got = {r.doc_id: r.keep_doc_id for r in near_dup_groups(docs, 0.5).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_repetition_stats_flags_doubled_and_looping_text(spark):
+    """The repetition quality filter must separate organic text (ratio
+    0), doubled text (the planted-gate shape, ratio 3/7), and a
+    degenerate generation loop (top_token_share 1.0)."""
+    from btd.dataops.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d a b c d"),
+            (3, "x x x x x x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].dup_bigram_ratio == 0.0
+    assert got[2].dup_bigram_ratio == round(3 / 7, 6)
+    assert got[3].dup_bigram_ratio == 0.8
+    assert got[3].top_token_share == 1.0
+    assert got[1].top_token_share == 0.125
