@@ -391,6 +391,36 @@ WHERE rk <= 20
 """
 
 
+#: the gate's mix manifest: halving rates over four sources, the rest
+#: dropped — exercises keep-whole, fractional rates, and the implicit
+#: rate-0 drop in one query
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+
+
+def _q_mix(spark, sf):
+    """Weighted dataset mixing in the gate: deterministic md5-bucket
+    sampling per source at the manifest's rates (identical row
+    selection in the SQL twin)."""
+    from btd.dataops.curation import mix_sources
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return mix_sources(docs, MIX_WEIGHTS)
+
+
+def _mix_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', {int(round(r * 65536))})"
+        for s, r in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""WITH w AS (SELECT * FROM (VALUES {vals}) AS t(source, kb))
+SELECT d.doc_id, d.source
+FROM documents d JOIN w ON w.source = d.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+           AS INTEGER) < w.kb"""
+
+
 def _q_chunk(spark, sf):
     """Token-budget chunking in the gate: 40-token chunks so multi-
     chunk docs are common at the gate corpus's doc lengths."""
@@ -504,6 +534,7 @@ def queries_dataops():
         "doc_resize": _q_resize,
         "doc_decontaminate": _q_decontaminate,
         "doc_stratified_sample": _q_stratified_sample,
+        "doc_mix": _q_mix,
         "doc_chunk": _q_chunk,
         "doc_scrub_pii": _q_scrub,
     }
@@ -777,6 +808,7 @@ def oracle_sql_dataops():
         "doc_resize": RESIZE_SQL,
         "doc_decontaminate": _decontaminate_sql(),
         "doc_stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "doc_mix": _mix_sql(),
         "doc_chunk": CHUNK_SQL,
         "doc_scrub_pii": SCRUB_SQL,
         "doc_exact_dedup": f"""{d}

@@ -150,3 +150,37 @@ def curate(
     fp = fingerprints(filtered)
     keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     return keep.select("doc_id", "fingerprint")
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted dataset mixing — the mixture-weights primitive of a
+    pretraining data pipeline: keep each source's rows at its configured
+    sampling rate (0..1), deterministically (md5-bucket rule, the
+    engine-portable variant of :func:`deterministic_sample` — same rows
+    every run, every engine, partition-independent). Sources absent
+    from ``weights`` are dropped (rate 0), the explicit-manifest
+    behavior a curated mix needs; rate 1.0 keeps a source whole.
+
+    The weights table is broadcast (a mix manifest is always tiny);
+    the filter is a narrow scan — no shuffle at any corpus size.
+    Buckets are 16-bit md5 prefixes, so rates resolve to 1/65536
+    granularity exactly and identically in the DuckDB oracle twin.
+    """
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        [(s, int(round(r * 65536))) for s, r in sorted(weights.items())],
+        f"{source_col} string, _keep_below int",
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(w), source_col)
+        .where(bucket < F.col("_keep_below"))
+        .drop("_keep_below")
+    )

@@ -469,3 +469,25 @@ def test_repetition_stats_flags_doubled_and_looping_text(spark):
     assert got[3].dup_bigram_ratio == 0.8
     assert got[3].top_token_share == 1.0
     assert got[1].top_token_share == 0.125
+
+
+def test_mix_sources_rates_determinism_and_drops(spark):
+    """Dataset mixing: rate-1.0 keeps a source whole, fractional rates
+    land near their target, sources missing from the manifest are
+    dropped, and the selection is identical across invocations (no RNG
+    state)."""
+    from btd.dataops.curation import mix_sources
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(3000)], "doc_id long, source string"
+    )
+    weights = {"s0": 1.0, "s1": 0.5}
+    rows = mix_sources(docs, weights).collect()
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert "s2" not in by_src
+    assert by_src["s0"] == 1000
+    assert 400 <= by_src["s1"] <= 600
+    again = {(r.doc_id, r.source) for r in mix_sources(docs, weights).collect()}
+    assert again == {(r.doc_id, r.source) for r in rows}
