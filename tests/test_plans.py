@@ -199,3 +199,43 @@ def test_prefix_filter_jaccard_has_no_cross_product(spark):
     )
     plan = _plan(ngram_jaccard_pairs(docs, 0.5))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_lsh_near_dup_scorer_is_distributed(spark):
+    """The gated near-dup scale path must share lsh_topk's plan shape:
+    zero jobs at construction (no full-matrix collect anywhere), no
+    cross product, and the bucket self-join + two scoring joins."""
+    from btd.dataops.similarity import lsh_near_dup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("near_dup_lazy_probe", "assert no jobs during plan build")
+    try:
+        df = lsh_near_dup(emb, dim=64, threshold=0.45, bits=4)
+        plan = _plan(df)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("near_dup_lazy_probe") == []
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins >= 3, plan
+
+
+def test_mix_sources_broadcasts_manifest(spark):
+    """The mix manifest must reach the plan as a broadcast join (never
+    a shuffle of the corpus against a 4-row table), with the md5
+    filter applied corpus-side."""
+    from btd.dataops.curation import mix_sources
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = _plan(mix_sources(docs, {"src0": 1.0, "src1": 0.5}))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
