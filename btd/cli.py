@@ -7,6 +7,8 @@ Subcommands:
     analyze <name> --input PATH [--output DIR]   reference analysis on n-quad text
     kg-run --transcripts PARQUET --out DIR       full KG pipeline (resumable)
     kg-run --events-dir SFDIR --out DIR          same, transcripts derived from events
+    curate --documents PARQUET --out DIR         training-data curation chain
+        [--near-dup-threshold J] [--mix src=rate,...]
 """
 
 from __future__ import annotations
@@ -45,6 +47,14 @@ def main(argv: list[str] | None = None) -> int:
         "'s p o  .' lines for dedup, 'degree<TAB>count' ascending "
         "for outdegree/indegree (S3/S4 sink)",
     )
+    pa.add_argument(
+        "--min-partitions",
+        type=int,
+        default=None,
+        help="decompress-then-repartition floor for unsplittable .gz "
+        "inputs (one gz file = one task otherwise — the reference's "
+        "parallelism ceiling); no-op on well-split inputs",
+    )
     pa.add_argument("--cores", type=int, default=None)
 
     pk = sub.add_parser("kg-run", help="north-rule KG construction pipeline")
@@ -54,11 +64,36 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--out", required=True)
     pk.add_argument("--cores", type=int, default=None)
 
+    pc = sub.add_parser(
+        "curate",
+        help="training-data curation over a documents parquet: quality "
+        "filter + exact dedup, then optional near-dup group removal "
+        "and weighted source mixing",
+    )
+    pc.add_argument("--documents", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=None,
+        help="also drop near-duplicate group members at this shingle "
+        "Jaccard (keeper = min doc_id per connected component)",
+    )
+    pc.add_argument(
+        "--mix",
+        default=None,
+        help="source=rate[,source=rate...] manifest; unlisted sources "
+        "are dropped (deterministic md5-bucket sampling)",
+    )
+    pc.add_argument("--cores", type=int, default=None)
+
     args = p.parse_args(argv)
     spark = get_spark("btd-cli", cores=args.cores)
 
     if args.cmd == "analyze":
-        triples = read_nquads(spark, args.input)
+        triples = read_nquads(
+            spark, args.input, min_partitions=args.min_partitions
+        )
         out = ANALYSES[args.name](triples)
         if args.text_output:
             if args.name == "dedup":
@@ -97,6 +132,40 @@ def main(argv: list[str] | None = None) -> int:
         res = pipeline.run(spark, tx, args.out)
         for name, df in res.items():
             print(f"{name}: {df.count()} rows")
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from btd.dataops.curation import curate, mix_sources
+
+        docs = spark.read.parquet(args.documents)
+        n_in = docs.count()
+        # quality filter + exact content dedup (min doc_id per
+        # fingerprint), rejoined for the full row
+        survivors = docs.join(curate(docs).select("doc_id"), "doc_id")
+        n_q = survivors.count()
+        if args.near_dup_threshold is not None:
+            from btd.dataops.dedup import near_dup_groups
+
+            groups = near_dup_groups(
+                survivors.select("doc_id", "text"), args.near_dup_threshold
+            )
+            keepers = groups.where(
+                F.col("doc_id") == F.col("keep_doc_id")
+            ).select("doc_id")
+            survivors = survivors.join(keepers, "doc_id")
+        n_nd = survivors.count()
+        if args.mix:
+            weights = dict(
+                (s, float(r))
+                for s, r in (kv.split("=") for kv in args.mix.split(","))
+            )
+            survivors = mix_sources(survivors, weights)
+        n_out = survivors.count()
+        survivors.write.mode("overwrite").parquet(args.out)
+        print(
+            f"in={n_in} after_quality_dedup={n_q} "
+            f"after_near_dup={n_nd} out={n_out} -> {args.out}"
+        )
     spark.stop()
     return 0
 
