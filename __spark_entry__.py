@@ -671,6 +671,23 @@ def _q_kg_outdegree_hist(spark: SparkSession, sf: str) -> DataFrame:
     return A.outdegree_histogram(tri)
 
 
+def _q_kg_khop(spark: SparkSession, sf: str) -> DataFrame:
+    """3-hop neighborhood of the blank-node customers over the
+    star-schema graph: level-synchronous BFS (btd.graph.khop) — each
+    level joins only the FRONTIER against the edge table and anti-joins
+    out already-reached pairs, so per-level work is bounded by the
+    distinct pair set (the plan that survives 100 TB). The DuckDB twin
+    enumerates length-≤3 paths recursively and takes MIN(hops): exact
+    but combinatorial in fan-out, affordable only at gate scale."""
+    from btd.graph import khop
+
+    e = edges(spark, sf).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    roots = e.where(F.col("src").startswith("_:c")).select("src")
+    return khop(e, k=3, roots=roots)
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "kg_turn_order": _q_kg_turn_order,
@@ -682,6 +699,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_same_as": _q_kg_same_as,
         "kg_entities": _q_kg_entities,
         "kg_outdegree_histogram": _q_kg_outdegree_hist,
+        "kg_khop": _q_kg_khop,
         "ref_distinct_subjects": _q_distinct,
         "ref_distinct_spo_counts": _q_distinct_spo,
         "ref_outdegree_histogram": _q_outdegree_hist,
@@ -916,6 +934,19 @@ def oracle_sql() -> dict[str, str]:
                          FROM events GROUP BY user_id)
             SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
             FROM deg GROUP BY degree""",
+        "kg_khop": f"""WITH RECURSIVE edges AS ({EDGES_SQL}),
+            eg AS (SELECT DISTINCT subject AS s, object AS n FROM edges),
+            reach(root, node, hops) AS (
+                SELECT eg.s, eg.n, 1 FROM eg
+                WHERE starts_with(eg.s, '_:c')
+                UNION
+                SELECT r.root, eg.n, r.hops + 1
+                FROM reach r JOIN eg ON eg.s = r.node
+                WHERE r.hops < 3)
+            SELECT root, node, CAST(MIN(hops) AS INTEGER) AS hops
+            FROM reach
+            WHERE root <> node
+            GROUP BY root, node""",
         "ref_distinct_subjects": f"""{e}
             SELECT CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_distinct_subjects
             FROM edges""",

@@ -239,6 +239,28 @@ def _q_emb_ivf_topk(spark, sf):
     return ivf_topk(_emb(spark, sf), k=3, n_iter=3, nprobe=4)
 
 
+def _q_emb_cluster_sample(spark, sf):
+    """Cluster-balanced downsample in the gate: the seedless IVF
+    codebook (nlist auto-sized by the sqrt(n) rule on the handed
+    corpus), Arrow-batched home assignment, ONE window shuffle keyed
+    by cluster. The oracle unrolls the identical Lloyd iterations +
+    keep window (``_ivf_cluster_sample_sql``) at the gate-corpus
+    layout, so assignments agree by construction."""
+    from btd.dataops.similarity import cluster_sample
+
+    return cluster_sample(_emb(spark, sf), per_cluster=3, n_iter=3)
+
+
+def _q_doc_tfidf(spark, sf):
+    """Top-3 TF-IDF keywords per document — all Catalyst (explode, two
+    partial-aggregated shuffles, term-keyed join, per-doc window);
+    score is ROUND(tf*ln((N+1)/(df+1)), 6) BEFORE ranking on both
+    engines so the (score desc, term asc) order is engine-stable."""
+    from btd.dataops.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), k=3)
+
+
 def _q_media_features(spark, sf):
     """Multimodal plumbing in the graded gate: deterministic fake media
     (payload = md5-of-text bytes), Arrow-batched byte-stats kernel over
@@ -529,6 +551,8 @@ def queries_dataops():
         "emb_brute_force_topk": _q_emb_brute_topk,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_cluster_sample": _q_emb_cluster_sample,
+        "doc_tfidf": _q_doc_tfidf,
         "doc_media_features": _q_media_features,
         "doc_frame_sample": _q_frame_sample,
         "doc_resize": _q_resize,
@@ -679,23 +703,11 @@ FROM cand c JOIN pairs p ON p.id_a = c.id_a AND p.id_b = c.id_b
 WHERE p.cosine >= {threshold!r}"""
 
 
-def _ivf_topk_sql(
-    dim: int = 64,
-    k: int = 3,
-    n_clusters: int = 16,
-    n_iter: int = 3,
-    nprobe: int = 4,
-) -> str:
-    """DuckDB twin of btd.dataops.similarity.ivf_topk: the Lloyd
-    iterations unrolled as CTEs c0..c{n}. Every cluster assignment
-    rounds its cosine to 6 decimals before ranking (ties → centroid
-    index) in BOTH engines, so assignments agree despite
-    summation-order ULPs in the means; empty clusters keep the
-    previous centroid, exactly like ivf_train."""
-    rng = f"range(1, {dim + 1})"
-
-    def assign_cte(name: str, cfrom: str, keep: str) -> str:
-        return f"""{name} AS (
+def _ivf_assign_cte(name: str, cfrom: str, keep: str) -> str:
+    """One discretized-argmax assignment CTE: cosine ROUND(,6) before
+    ranking, ties → centroid index — the float path ivf_assign_kernel
+    mirrors."""
+    return f"""{name} AS (
   SELECT vec_id, cidx FROM (
     SELECT v.vec_id, c.cidx,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -704,6 +716,14 @@ def _ivf_topk_sql(
     FROM v, {cfrom} c)
   WHERE rn {keep})"""
 
+
+def _ivf_train_parts(dim: int, n_clusters: int, n_iter: int) -> list[str]:
+    """The Lloyd iterations unrolled as CTEs c0..c{n} plus the final
+    home assignment ``bk`` — the DuckDB twin of ivf_train + home
+    assignment, shared by the top-k and cluster-sample oracles so the
+    codebook replica exists in one place. Empty clusters keep the
+    previous centroid, exactly like ivf_train."""
+    rng = f"range(1, {dim + 1})"
     parts = [
         f"WITH {_COSINE_SQL},",
         f"""c0 AS (
@@ -712,7 +732,7 @@ def _ivf_topk_sql(
     ]
     for j in range(1, n_iter + 1):
         i = j - 1
-        parts.append(assign_cte(f"a{j}", f"c{i}", "= 1") + ",")
+        parts.append(_ivf_assign_cte(f"a{j}", f"c{i}", "= 1") + ",")
         parts.append(
             f"""mx{j} AS (
   SELECT a.cidx, unnest({rng}) AS i, unnest(v.e) AS val
@@ -731,8 +751,24 @@ c{j} AS (
          END AS e
   FROM c{i} c LEFT JOIN mv{j} mv USING (cidx)),"""
         )
-    parts.append(assign_cte("bk", f"c{n_iter}", "= 1") + ",")
-    parts.append(assign_cte("pr", f"c{n_iter}", f"<= {nprobe}") + ",")
+    parts.append(_ivf_assign_cte("bk", f"c{n_iter}", "= 1") + ",")
+    return parts
+
+
+def _ivf_topk_sql(
+    dim: int = 64,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of btd.dataops.similarity.ivf_topk: the shared
+    codebook CTEs (``_ivf_train_parts``) + probe assignment + candidate
+    join + exact scoring. Every cluster assignment rounds its cosine to
+    6 decimals before ranking (ties → centroid index) in BOTH engines,
+    so assignments agree despite summation-order ULPs in the means."""
+    parts = _ivf_train_parts(dim, n_clusters, n_iter)
+    parts.append(_ivf_assign_cte("pr", f"c{n_iter}", f"<= {nprobe}") + ",")
     parts.append(
         f"""cand AS (
   SELECT DISTINCT p.vec_id AS id_a, b.vec_id AS id_b
@@ -747,6 +783,27 @@ ranked AS (
               ORDER BY cosine DESC, id_b) AS INTEGER) AS rank
   FROM scored)
 SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}"""
+    )
+    return "\n".join(parts)
+
+
+def _ivf_cluster_sample_sql(
+    dim: int = 64,
+    per_cluster: int = 3,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB twin of btd.dataops.similarity.cluster_sample: the same
+    codebook CTEs, then the per-cluster keep window (smallest vec_ids
+    first)."""
+    parts = _ivf_train_parts(dim, n_clusters, n_iter)
+    parts.append(
+        f"""kept AS (
+  SELECT vec_id, CAST(cidx AS INTEGER) AS cluster,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cidx ORDER BY vec_id)
+              AS INTEGER) AS rn
+  FROM bk)
+SELECT vec_id, cluster, rn FROM kept WHERE rn <= {per_cluster}"""
     )
     return "\n".join(parts)
 
@@ -803,6 +860,28 @@ def oracle_sql_dataops():
         # inlined layout constants to silently desync)
         "emb_lsh_topk": _lsh_topk_sql(bits=auto_lsh_bits(_gate_corpus_n())),
         "emb_ivf_topk": _ivf_topk_sql(n_clusters=auto_nlist(_gate_corpus_n())),
+        "emb_cluster_sample": _ivf_cluster_sample_sql(
+            n_clusters=auto_nlist(_gate_corpus_n())
+        ),
+        "doc_tfidf": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (SELECT t.doc_id, t.term, t.tf,
+                              ROUND(t.tf * ln((nd.n_docs + 1)
+                                              / (d.df + 1)), 6) AS score
+                       FROM tf t JOIN df d USING (term) CROSS JOIN nd),
+            r AS (SELECT doc_id, term, tf, score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, term ASC) AS rank
+                  FROM scored)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3""",
         "doc_media_features": MEDIA_FEATURES_SQL,
         "doc_frame_sample": FRAME_SAMPLE_SQL,
         "doc_resize": RESIZE_SQL,

@@ -466,6 +466,60 @@ def ivf_train(emb: DataFrame, n_clusters: int = 16, n_iter: int = 3):
     return C
 
 
+def _home_udf(rank):
+    """pandas-UDF: embedding → home cluster (rank[0]) under the given
+    assignment kernel. Shared by ivf_topk and cluster_sample so the
+    oracle-critical discretized argmax exists in one place."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def _home(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            Q = np.array(list(batch), dtype=np.float64)
+            yield pd.Series(rank(Q)[:, 0].astype("int32"))
+
+    return _home
+
+
+def cluster_sample(
+    emb: DataFrame,
+    per_cluster: int = 3,
+    n_clusters: int | None = None,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Cluster-balanced sampling: (vec_id, cluster, rn) keeping the
+    ``per_cluster`` smallest vec_ids of each IVF cluster — the
+    diversity-preserving downsample a pretraining mix runs so dense
+    regions of embedding space don't dominate the corpus (uniform
+    sampling keeps duplicates' neighborhoods proportional; per-cluster
+    quotas flatten them).
+
+    Deterministic end-to-end: the same seedless Lloyd codebook as
+    ivf_topk (only k×dim centroids on the driver), an Arrow-batched
+    home assignment, then ONE window shuffle keyed by cluster. vec_id
+    order inside the cluster makes the kept set rerun-stable (swap in a
+    quality score for quality-aware keeps). AQE skew-split covers a
+    megacluster; nlist ≈ sqrt(n) keeps per-cluster window state
+    bounded.
+    """
+    if n_clusters is None:
+        n_clusters = auto_nlist(emb.count())
+    from pyspark.sql import Window
+
+    C = ivf_train(emb, n_clusters, n_iter)
+    buckets = emb.select(
+        "vec_id",
+        _home_udf(ivf_assign_kernel(C))(F.col("embedding")).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    return (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_cluster)
+        .select("vec_id", "cluster", "rn")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -502,12 +556,7 @@ def ivf_topk(
         nprobe = 8
     C = ivf_train(emb, n_clusters, n_iter)
     rank = ivf_assign_kernel(C)
-
-    @F.pandas_udf(T.IntegerType())
-    def _home(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for batch in it:
-            Q = np.array(list(batch), dtype=np.float64)
-            yield pd.Series(rank(Q)[:, 0].astype("int32"))
+    _home = _home_udf(rank)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _probes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

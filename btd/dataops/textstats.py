@@ -155,3 +155,49 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         )
     )
     return bigrams.join(top, "doc_id")
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, term, tf, score, rank): the top-``k`` TF-IDF terms per
+    document — the classic keyword / topic signal a curation pipeline
+    uses for domain tagging and stratified mix design.
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) with df =
+    number of docs containing the term (+1 smoothing keeps corpus-wide
+    terms finite). score = ROUND(tf·idf, 6) — rounded BEFORE ranking so
+    the order (score desc, term asc) is engine-stable.
+
+    All Catalyst: explode → two partial-aggregated shuffles (by
+    (doc, term) then by term) → one term-keyed join → per-doc window.
+    N arrives as a broadcast 1-row aggregate, not a driver count, so
+    the plan is a single job. The df table is joined, not broadcast by
+    hand: vocabulary ∝ corpus, Catalyst/AQE picks the strategy.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )

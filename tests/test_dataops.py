@@ -491,3 +491,70 @@ def test_mix_sources_rates_determinism_and_drops(spark):
     assert 400 <= by_src["s1"] <= 600
     again = {(r.doc_id, r.source) for r in mix_sources(docs, weights).collect()}
     assert again == {(r.doc_id, r.source) for r in rows}
+
+
+def test_cluster_sample_quota_determinism_and_homes(spark, emb):
+    from btd.dataops.similarity import cluster_sample, ivf_assign_kernel, ivf_train
+
+    kept = cluster_sample(emb, per_cluster=3, n_clusters=8, n_iter=2)
+    rows = kept.collect()
+    # per-cluster quota respected, rn is 1..quota, smallest vec_ids kept
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append((r.rn, r.vec_id))
+    for c, members in by_cluster.items():
+        assert len(members) <= 3
+        assert sorted(rn for rn, _ in members) == list(range(1, len(members) + 1))
+    # keeps agree with a driver-side replay of the same codebook
+    C = ivf_train(emb, 8, 2)
+    rank = ivf_assign_kernel(C)
+    vecs = _np_embs(emb)
+    ids = sorted(vecs)
+    homes = rank(np.array([vecs[i] for i in ids]))[:, 0]
+    expect = {}
+    for home, vid in sorted(zip(homes, ids), key=lambda t: (t[0], t[1])):
+        expect.setdefault(int(home), [])
+        if len(expect[int(home)]) < 3:
+            expect[int(home)].append(vid)
+    got = {c: sorted(v for _, v in ms) for c, ms in by_cluster.items()}
+    assert got == {c: v for c, v in expect.items() if v}
+    # rerun under a different physical layout → identical keeps
+    rows2 = cluster_sample(
+        emb.repartition(7), per_cluster=3, n_clusters=8, n_iter=2
+    ).collect()
+    assert {tuple(r) for r in rows2} == {tuple(r) for r in rows}
+
+
+def test_tfidf_top_terms_vs_python(spark, docs, docs_pd):
+    import math
+
+    from btd.dataops.textstats import tfidf_top_terms
+
+    got = tfidf_top_terms(docs, k=3).collect()
+    # python oracle
+    tf = {}
+    df_counts = {}
+    for d, text in docs_pd.items():
+        counts = {}
+        for t in text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+        tf[d] = counts
+        for t in counts:
+            df_counts[t] = df_counts.get(t, 0) + 1
+    n = len(docs_pd)
+    expect = {}
+    for d, counts in tf.items():
+        scored = sorted(
+            (
+                (round(c * math.log((n + 1) / (df_counts[t] + 1)), 6), t, c)
+                for t, c in counts.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rank, (s, t, c) in enumerate(scored, 1):
+            expect[(d, t)] = (c, s, rank)
+    assert len(got) == len(expect)
+    for r in got:
+        c, s, rank = expect[(r.doc_id, r.term)]
+        assert (r.tf, r.rank) == (c, rank)
+        assert abs(r.score - s) < 1e-9

@@ -86,3 +86,62 @@ def test_curate_matches_python(spark):
     got = {(r.doc_id, r.fingerprint) for r in curate(docs).collect()}
     assert got == {(did, fp) for fp, did in fps.items()}
     assert len(got) > 0
+
+def _py_khop(edge_list, k, roots=None):
+    """Reference BFS: min directed hop count per (root, node) pair."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, d in edge_list:
+        adj[s].add(d)
+    srcs = sorted({s for s, _ in edge_list})
+    if roots is not None:
+        srcs = [s for s in srcs if s in roots]
+    out = {}
+    for r in srcs:
+        dist = {r: 0}
+        q = deque([r])
+        while q:
+            u = q.popleft()
+            if dist[u] == k:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for node, h in dist.items():
+            if node != r and h >= 1:
+                out[(r, node)] = h
+    return out
+
+
+@pytest.mark.parametrize(
+    "edge_list,k",
+    [
+        # diamond: two paths a->d (len 2) plus shortcut a->d (len 1):
+        # min-hop must report 1, not 2
+        ([("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")], 3),
+        # chain longer than k: e unreachable within 2 hops of a
+        ([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], 2),
+        # cycle: self-pairs excluded, everything else min-hop
+        ([("a", "b"), ("b", "c"), ("c", "a")], 3),
+        # parallel edges collapse
+        ([("a", "b"), ("a", "b"), ("b", "c")], 2),
+    ],
+)
+def test_khop_vs_python_bfs(spark, edge_list, k):
+    from btd.graph import khop
+
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {(r.root, r.node): r.hops for r in khop(edges, k).collect()}
+    assert got == _py_khop(edge_list, k)
+
+
+def test_khop_roots_restrict(spark):
+    from btd.graph import khop
+
+    edge_list = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "c")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    roots = spark.createDataFrame([("a",)], "r string")
+    got = {(r.root, r.node): r.hops for r in khop(edges, 2, roots=roots).collect()}
+    assert got == _py_khop(edge_list, 2, roots={"a"})

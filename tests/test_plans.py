@@ -239,3 +239,55 @@ def test_mix_sources_broadcasts_manifest(spark):
     plan = _plan(mix_sources(docs, {"src0": 1.0, "src1": 0.5}))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_corpus_count_not_df_table(spark):
+    """The 1-row n_docs aggregate must arrive via broadcast (it's the
+    only hand-broadcast in the plan); the df table join is left to
+    Catalyst/AQE (vocabulary grows with the corpus — forcing a
+    broadcast there would OOM executors at 100 TB)."""
+    from btd.dataops.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # partial+final aggregation on both shuffled aggs (tf and df)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_khop_has_no_cartesian_and_bounded_joins(spark):
+    """Frontier BFS must stay equi-join shuffles: no cartesian products,
+    and the anti-join dedup appears as LeftAnti — per-level work bounded
+    by the distinct pair set, the property that survives 100 TB."""
+    from btd.graph import khop
+
+    e = edges(spark, SF).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    roots = e.where(F.col("src").startswith("_:c")).select("src")
+    plan = _plan(khop(e, k=3, roots=roots))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_cluster_sample_is_single_window_shuffle(spark):
+    """After the (driver-bounded) codebook train, the keep phase is ONE
+    exchange keyed by cluster feeding a running-window — no join, no
+    second shuffle."""
+    from btd.dataops.similarity import cluster_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    plan = _plan(cluster_sample(emb, per_cluster=3, n_clusters=8, n_iter=2))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # exactly one exchange below the window (hashpartitioning on
+    # cluster); "(n) Exchange" = the details block, one per node
+    assert plan.count(") Exchange") == 1
+    # map-side partial top-N prune before the shuffle: only ≤ quota
+    # rows per (partition, cluster) travel the wire
+    assert "WindowGroupLimit" in plan
