@@ -347,6 +347,43 @@ def _q_ev_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event stream — two
+    partial-aggregated exchanges (first-event per user, then
+    distinct-user count per cell); output is ≤ weeks² cells at any
+    corpus scale."""
+    from btd.temporal import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel, first-touch
+    anchors: ONE per-user aggregate collecting sorted per-step ts
+    arrays, chain resolved with JVM array expressions (element_at of a
+    higher-order filter) — no joins, no windows, no Python. The twin
+    unrolls the chain as per-stage MIN joins."""
+    from btd.temporal import funnel
+
+    return funnel(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        ["view", "click", "purchase"],
+    )
+
+
+def _q_kg_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Basket co-occurrence (market-basket support counting) over the
+    order→part containment edges: part pairs sharing ≥2 orders. Pair
+    volume is Σ basket_width² — bounded by the data model, not the
+    corpus; the mega-basket purge knob is exercised in pytest."""
+    from btd.analytics.cooccur import basket_cooccurrence
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return basket_cooccurrence(
+        li, basket="l_orderkey", item="l_partkey", min_shared=2
+    )
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -732,6 +769,9 @@ def queries() -> dict[str, QueryFn]:
         "ev_quantiles_approx": _q_ev_quantiles_approx,
         "ev_pivot": _q_ev_pivot,
         "ev_json_extract": _q_ev_json_extract,
+        "ev_retention": _q_ev_retention,
+        "ev_funnel": _q_ev_funnel,
+        "kg_copurchase": _q_kg_copurchase,
         **queries_dataops(),
     }
 
@@ -934,6 +974,47 @@ def oracle_sql() -> dict[str, str]:
                          FROM events GROUP BY user_id)
             SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
             FROM deg GROUP BY degree""",
+        "ev_retention": """
+            WITH first AS (SELECT user_id,
+                                  CAST(date_trunc('week', MIN(ts)) AS DATE)
+                                      AS cohort_week
+                           FROM events GROUP BY user_id),
+            act AS (SELECT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS week
+                    FROM events)
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.week) // 7
+                        AS BIGINT) AS offset_weeks,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM act a JOIN first f USING (user_id)
+            GROUP BY f.cohort_week, offset_weeks""",
+        "ev_funnel": """
+            WITH a0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            a1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+                   FROM events e JOIN a0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= a0.t0
+                   GROUP BY e.user_id),
+            a2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN a1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= a1.t1
+                   GROUP BY e.user_id)
+            SELECT 'view' AS step, 0 AS step_idx,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a0) AS n_users
+            UNION ALL
+            SELECT 'click', 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM a1)
+            UNION ALL
+            SELECT 'purchase', 2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a2)""",
+        "kg_copurchase": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS b,
+                                           l_partkey AS i
+                           FROM lineitem)
+            SELECT a.i AS item_a, c.i AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_baskets
+            FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+            GROUP BY a.i, c.i
+            HAVING COUNT(*) >= 2""",
         "kg_khop": f"""WITH RECURSIVE edges AS ({EDGES_SQL}),
             eg AS (SELECT DISTINCT subject AS s, object AS n FROM edges),
             reach(root, node, hops) AS (

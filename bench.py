@@ -115,7 +115,8 @@ def main() -> None:
     if os.environ.get("BTD_BENCH_SCALE_PROBE", "1") != "0" and sf <= 0.2:
         # isolated + budgeted: a probe failure or overrun must never
         # cost the main bench record (the driver needs its ONE line)
-        budget = float(os.environ.get("BTD_BENCH_PROBE_BUDGET", "180"))
+        # 240 s default: the subset grew to 20 queries in round 3
+        budget = float(os.environ.get("BTD_BENCH_PROBE_BUDGET", "240"))
         subset = [
             "ref_dedup", "ref_distinct_contexts", "ref_top_contexts",
             "ref_outdegree_histogram", "doc_exact_dedup",
@@ -125,6 +126,9 @@ def main() -> None:
             "kg_extract_triples",
             "kg_entities", "kg_pagerank", "ev_sessionize",
             "ev_asof_join", "ev_range_count",
+            # round-3 additions with real shuffle surface: BFS joins,
+            # bigram-model join, basket pair counting
+            "kg_khop", "doc_lm_score", "kg_copurchase",
         ]
         try:
             from BENCH.make_scale import ensure

@@ -21,6 +21,7 @@ from btd.dataops.dedup import (
 from btd.dataops.similarity import (
     auto_lsh_bits,
     auto_nlist,
+    auto_semdedup_nlist,
     blas_near_dup,
     blas_topk,
     lsh_near_dup,
@@ -259,6 +260,28 @@ def _q_doc_tfidf(spark, sf):
     from btd.dataops.textstats import tfidf_top_terms
 
     return tfidf_top_terms(_docs(spark, sf), k=3)
+
+
+def _q_emb_semdedup(spark, sf):
+    """SemDeDup in the gate: IVF clustering confines the quadratic
+    pair scoring inside bounded clusters (n/cluster_target rule),
+    keeper election via connected components. The oracle replays the
+    same codebook (shared Lloyd CTEs), the same within-cluster
+    candidate set, and the exact transitive closure."""
+    from btd.dataops.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf), threshold=0.45)
+
+
+def _q_doc_lm(spark, sf):
+    """Corpus-trained bigram-LM perplexity proxy per document — the
+    CCNet-style quality filter, pure Catalyst (slice+zip bigrams, one
+    model exchange, score re-join). avg_logp ROUND(,6): addends are
+    exact same-input doubles on both engines; the mean's
+    summation-order drift sits ~7 orders below the rounding step."""
+    from btd.dataops.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf))
 
 
 def _q_media_features(spark, sf):
@@ -553,6 +576,8 @@ def queries_dataops():
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_cluster_sample": _q_emb_cluster_sample,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_lm_score": _q_doc_lm,
+        "emb_semantic_dedup": _q_emb_semdedup,
         "doc_media_features": _q_media_features,
         "doc_frame_sample": _q_frame_sample,
         "doc_resize": _q_resize,
@@ -787,6 +812,37 @@ SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}"""
     return "\n".join(parts)
 
 
+def _ivf_semdedup_sql(
+    dim: int = 64,
+    threshold: float = 0.45,
+    n_clusters: int = 2,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB twin of btd.dataops.similarity.semantic_dedup: the shared
+    codebook CTEs, the same within-cluster candidate pairs, exact
+    ROUND(,6) cosine at ``threshold``, then the exact transitive
+    closure with min-id keeper election (recursive CTE, like the
+    doc_dedup_groups oracle)."""
+    parts = _ivf_train_parts(dim, n_clusters, n_iter)
+    parts[0] = "WITH RECURSIVE " + parts[0][len("WITH "):]
+    parts.append(
+        f"""cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bk a JOIN bk c ON a.cidx = c.cidx AND a.vec_id < c.vec_id),
+dup AS (SELECT c.id_a, c.id_b FROM cand c
+        JOIN pairs p ON p.id_a = c.id_a AND p.id_b = c.id_b
+        WHERE p.cosine >= {threshold!r}),
+und AS (SELECT id_a AS a, id_b AS b FROM dup
+        UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
+reach AS (SELECT vec_id, vec_id AS nb FROM v
+          UNION
+          SELECT r.vec_id, u.b AS nb FROM reach r JOIN und u ON u.a = r.nb)
+SELECT vec_id, CAST(MIN(nb) AS BIGINT) AS keep_vec_id
+FROM reach GROUP BY vec_id"""
+    )
+    return "\n".join(parts)
+
+
 def _ivf_cluster_sample_sql(
     dim: int = 64,
     per_cluster: int = 3,
@@ -863,6 +919,9 @@ def oracle_sql_dataops():
         "emb_cluster_sample": _ivf_cluster_sample_sql(
             n_clusters=auto_nlist(_gate_corpus_n())
         ),
+        "emb_semantic_dedup": _ivf_semdedup_sql(
+            n_clusters=auto_semdedup_nlist(_gate_corpus_n())
+        ),
         "doc_tfidf": """
             WITH toks AS (SELECT doc_id,
                                  unnest(string_split(text, ' ')) AS term
@@ -882,6 +941,28 @@ def oracle_sql_dataops():
             SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
                    CAST(rank AS INTEGER) AS rank
             FROM r WHERE rank <= 3""",
+        "doc_lm_score": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(tk[1:len(tk) - 1]) AS w1,
+                          unnest(tk[2:len(tk)]) AS w2
+                   FROM t WHERE len(tk) >= 2),
+            model AS (SELECT w1, w2, COUNT(*) AS c12
+                      FROM bg GROUP BY w1, w2),
+            starts AS (SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1),
+            vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+                          (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents)),
+            sc AS (SELECT g.doc_id,
+                          ln((m.c12 + 1) / (s.c1 + v.v)) AS lp
+                   FROM bg g
+                   JOIN model m USING (w1, w2)
+                   JOIN starts s USING (w1)
+                   CROSS JOIN vocab v)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(lp), 6) AS avg_logp
+            FROM sc GROUP BY doc_id""",
         "doc_media_features": MEDIA_FEATURES_SQL,
         "doc_frame_sample": FRAME_SAMPLE_SQL,
         "doc_resize": RESIZE_SQL,

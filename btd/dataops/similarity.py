@@ -589,3 +589,69 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("id_a", "id_b", "cosine", "rank")
     )
+
+
+def auto_semdedup_nlist(n: int, cluster_target: int = 200) -> int:
+    """Cluster count for semantic dedup: n/cluster_target, floor 1.
+    Unlike the ANN sqrt(n) rule, dedup pairing is quadratic WITHIN a
+    cluster, so the scale invariant is a BOUNDED cluster width (pairs
+    ≈ n × cluster_target — linear in the corpus), not balanced probe
+    cost."""
+    return max(1, n // cluster_target)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.85,
+    n_clusters: int | None = None,
+    n_iter: int = 3,
+    cluster_target: int = 200,
+) -> DataFrame:
+    """(vec_id, keep_vec_id): SemDeDup-style semantic deduplication —
+    cluster the embedding space with the deterministic IVF codebook,
+    score all WITHIN-cluster pairs exactly, connect pairs with
+    cosine ≥ ``threshold`` into components, and elect min(vec_id) as
+    each component's keeper (singletons keep themselves). The
+    embedding-space twin of :func:`btd.dataops.dedup.near_dup_groups`:
+    same keeper-election semantics, candidate generation by k-means
+    cluster instead of MinHash band (Abbas et al., "SemDeDup", 2023 —
+    public method).
+
+    Scale shape: clusters are sized to ``cluster_target`` by the
+    n/target rule, so pair volume is ≈ n × cluster_target — linear in
+    the corpus with the quadratic confined inside each cluster (the
+    published method's own trick). Assignment is the Arrow-batched
+    home kernel, pair scoring the shared distributed join+dot
+    (:func:`_pair_scorer` — no vector data on the driver), components
+    the checkpoint-hygienic label propagation used for entity
+    canonicalization. Cross-cluster near-dups are out of candidate
+    scope by design; the oracle replicates the same candidate set, so
+    the gate is exact over the operator's own contract.
+    """
+    from btd.link.canonical import connected_components
+
+    if n_clusters is None:
+        n_clusters = auto_semdedup_nlist(emb.count(), cluster_target)
+    C = ivf_train(emb, n_clusters, n_iter)
+    homes = emb.select(
+        "vec_id",
+        _home_udf(ivf_assign_kernel(C))(F.col("embedding")).alias("_c"),
+    )
+    a = homes.select("_c", F.col("vec_id").alias("id_a"))
+    b = homes.select("_c", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, "_c")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    dup = (
+        _pair_scorer(emb)(cand)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("entity_id"))
+    labels = connected_components(nodes, dup)
+    return labels.select(
+        F.col("entity_id").alias("vec_id"),
+        F.col("canonical_id").alias("keep_vec_id"),
+    )

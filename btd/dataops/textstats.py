@@ -201,3 +201,64 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", "rank")
     )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp): score every document by the mean
+    log-probability of its word bigrams under an add-one-smoothed
+    bigram model trained on the corpus itself — the CCNet-style
+    perplexity filter (docs far below the corpus mean read as
+    boilerplate/gibberish; far above as degenerate repetition), built
+    entirely in Catalyst instead of an external KenLM.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with c(w1·) summed over
+    observed bigram starts and V = corpus vocabulary size (a 1-row
+    broadcast aggregate, like tfidf's N). Docs with < 2 tokens carry
+    no bigrams and are omitted.
+
+    Plan: bigrams come from slice+zip on the token array (narrow, no
+    self-join), then ONE exchange keyed by (w1,w2) builds the model
+    with partial aggregation, the per-start totals derive from the
+    model table itself (vocabulary-sized, not corpus-sized), and
+    scoring re-joins docs' bigrams to the model on the same (w1,w2)
+    key. avg_logp is ROUND(,6): each addend is an exact same-input
+    double on both engines; the 1e-13-scale summation-order drift of
+    the mean sits 7 orders below the rounding step.
+    """
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    bg = (
+        toks.where(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.col("_n") - 1).alias("w1"),
+                    F.slice(F.col("_t"), 2, F.col("_n") - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    starts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("_w"))
+        .agg(F.count_distinct("_w").alias("v"))
+    )
+    scored = (
+        bg.join(model, ["w1", "w2"])
+        .join(starts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + 1) / (F.col("c1") + F.col("v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logp"),
+    )

@@ -161,3 +161,107 @@ def range_join_count(
         .agg(F.sum("_hit").alias(out))
         .drop("_rid")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """(cohort_week, offset_weeks, n_users): the classic retention
+    triangle — users grouped by the ISO week of their FIRST event,
+    counted in every later week they remain active. The product-health
+    readout every event pipeline ships.
+
+    Two keyed exchanges, both with map-side partial aggregation:
+    (1) min-ts per user (the cohort), broadcast-joined back onto the
+    event stream (users ≪ events; Catalyst picks broadcast when the
+    per-user table fits, sort-merge otherwise — no hand forcing), and
+    (2) distinct-user count per (cohort, offset) cell. Output cells
+    are ≤ weeks², tiny at any corpus scale. offset = whole weeks
+    between the Monday-truncated event week and cohort week — both
+    engines truncate to Monday, so the day gap is an exact multiple
+    of 7 and integer division is exact.
+    """
+    first = events.groupBy(F.col(user).alias("_u")).agg(
+        F.to_date(F.date_trunc("week", F.min(ts))).alias("cohort_week")
+    )
+    act = events.select(
+        F.col(user).alias("_u"),
+        F.to_date(F.date_trunc("week", F.col(ts))).alias("week"),
+    )
+    return (
+        act.join(first, "_u")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).alias(
+                "offset_weeks"
+            ),
+            "_u",
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, step_idx, n_users): ordered-funnel conversion — how many
+    users performed step[0], then step[1] at-or-after their first
+    step[0], then step[2] at-or-after that, … Strictly ordered (a
+    purchase BEFORE the first view does not count), first-touch
+    semantics (each stage anchors at the user's EARLIEST qualifying
+    event, which maximizes later-stage matches — the standard funnel
+    definition).
+
+    One shuffle total, no joins, no windows, no Python UDFs: a single
+    per-user aggregate collects the SORTED timestamp array of each
+    step's events, then JVM array expressions resolve the chain —
+    anchor_k = first element of arr_k that is >= anchor_{k-1}
+    (try_element_at of a higher-order filter — NULL, not ANSI error,
+    when a user never reaches a stage). Per-user state is the
+    user's own event timestamps for the named steps — bounded by
+    per-user activity, the same envelope sessionization carries; the
+    final counts are a tiny global rollup.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    aggs = [
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col(type_col) == s, F.col(ts))
+            )
+        ).alias(f"_a{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy(F.col(user).alias("_u")).agg(*aggs)
+    anchor = F.try_element_at(F.col("_a0"), F.lit(1))
+    reached = [anchor.isNotNull()]
+    for i in range(1, len(steps)):
+        nxt = F.try_element_at(
+            F.filter(F.col(f"_a{i}"), lambda t: t >= anchor), F.lit(1)
+        )
+        reached.append(nxt.isNotNull())
+        anchor = nxt
+    counted = per_user.select(
+        *[
+            F.when(r, F.lit(1)).otherwise(F.lit(0)).alias(f"_r{i}")
+            for i, r in enumerate(reached)
+        ]
+    ).agg(*[F.sum(f"_r{i}").alias(f"_n{i}") for i in range(len(steps))])
+    rows = [
+        F.struct(
+            F.lit(s).alias("step"),
+            F.lit(i).alias("step_idx"),
+            F.col(f"_n{i}").alias("n_users"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return counted.select(
+        F.explode(F.array(*rows)).alias("_e")
+    ).select("_e.step", "_e.step_idx", "_e.n_users")

@@ -114,3 +114,33 @@ def test_dedup_idempotent_on_doubled_input(spark, triples_df):
     a = remove_duplicate_triples(triples_df).count()
     b = remove_duplicate_triples(doubled).count()
     assert a == b
+
+
+def test_basket_cooccurrence_counts_and_purge(spark):
+    from btd.analytics.cooccur import basket_cooccurrence
+
+    rows = [
+        # basket 1: {a, b, c}; basket 2: {a, b}; basket 3: {b, c};
+        # basket 4: {a, a, b} (dup item must collapse);
+        # basket 5: mega-basket {a..f} — purged when cap=4
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "b"), (3, "c"),
+        (4, "a"), (4, "a"), (4, "b"),
+        (5, "a"), (5, "b"), (5, "c"), (5, "d"), (5, "e"), (5, "f"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in basket_cooccurrence(df, "basket", "item", 2).collect()
+    }
+    # mega-basket included: ab=4, ac=2, bc=3
+    assert got == {("a", "b"): 4, ("a", "c"): 2, ("b", "c"): 3}
+    capped = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in basket_cooccurrence(
+            df, "basket", "item", 2, max_basket_size=4
+        ).collect()
+    }
+    # basket 5 purged before pairing
+    assert capped == {("a", "b"): 3, ("b", "c"): 2}

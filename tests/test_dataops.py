@@ -558,3 +558,41 @@ def test_tfidf_top_terms_vs_python(spark, docs, docs_pd):
         c, s, rank = expect[(r.doc_id, r.term)]
         assert (r.tf, r.rank) == (c, rank)
         assert abs(r.score - s) < 1e-9
+
+
+def test_bigram_lm_scores_vs_python(spark, docs, docs_pd):
+    import math
+
+    from btd.dataops.textstats import bigram_lm_scores
+
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp)
+           for r in bigram_lm_scores(docs).collect()}
+    # python oracle: add-one bigram model trained on the same corpus
+    c12, c1 = {}, {}
+    vocab = set()
+    for text in docs_pd.values():
+        toks = text.split(" ")
+        vocab.update(toks)
+        for w1, w2 in zip(toks, toks[1:]):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+    for (w1, _), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+    v = len(vocab)
+    expect = {}
+    for d, text in docs_pd.items():
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        lps = [
+            math.log((c12[(a, b)] + 1) / (c1[a] + v))
+            for a, b in zip(toks, toks[1:])
+        ]
+        expect[d] = (len(lps), round(sum(lps) / len(lps), 6))
+    assert set(got) == set(expect)
+    for d in got:
+        assert got[d][0] == expect[d][0]
+        assert abs(got[d][1] - expect[d][1]) < 1e-9
+    # a natural-text doc should score higher than pure gibberish would:
+    # every doc's mean logp must beat the worst-case floor ln(1/(max c1+v))
+    floor = math.log(1.0 / (max(c1.values()) + v))
+    assert all(s > floor for _, s in got.values())

@@ -291,3 +291,45 @@ def test_cluster_sample_is_single_window_shuffle(spark):
     # map-side partial top-N prune before the shuffle: only ≤ quota
     # rows per (partition, cluster) travel the wire
     assert "WindowGroupLimit" in plan
+
+
+def test_funnel_is_single_aggregate_no_join(spark):
+    """The whole ordered-funnel chain must compile to ONE per-user
+    aggregate + a global rollup: no joins, no windows — the shape whose
+    shuffle volume is one pass over events regardless of funnel depth."""
+    from btd.temporal import funnel
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(funnel(ev, ["view", "click", "purchase"]))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # per-user partial+final agg pair, then the 1-row global rollup
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_cooccurrence_join_is_coparitioned_equi(spark):
+    """The basket self-join must be an equi-join on the basket key with
+    no cartesian product; pair counting gets partial aggregation."""
+    from btd.analytics.cooccur import basket_cooccurrence
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(
+        basket_cooccurrence(li, "l_orderkey", "l_partkey", 2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bigram_lm_broadcasts_vocab_only(spark):
+    """V (a 1-row aggregate) is the only hand-broadcast; model and
+    starts tables join on their keys (vocabulary ∝ corpus — a forced
+    broadcast there would OOM at scale)."""
+    from btd.dataops.textstats import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(bigram_lm_scores(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

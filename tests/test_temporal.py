@@ -140,3 +140,67 @@ def test_asof_join_null_payload_is_atomic(spark):
     assert len(rows) == 1
     assert rows[0].ts_asof == _ts(8)
     assert rows[0].v_asof is None  # DuckDB ASOF semantics
+
+
+def _day(d):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+
+
+def test_cohort_retention_weekly_cells(spark):
+    from btd.temporal import cohort_retention
+
+    # 2024-01-01 is a Monday: user 1 joins week 0, active weeks 0,1,3;
+    # user 2 joins week 1, active weeks 1,2; user 3 joins week 0 only.
+    rows = [
+        (1, _day(0)), (1, _day(2)), (1, _day(8)), (1, _day(21)),
+        (2, _day(7)), (2, _day(15)),
+        (3, _day(4)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week.isoformat(), r.offset_weeks): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1 and 3 in the week-0 cohort
+        ("2024-01-01", 1): 1,  # user 1 back in week 1
+        ("2024-01-01", 3): 1,  # user 1 back in week 3
+        ("2024-01-08", 0): 1,  # user 2 cohort
+        ("2024-01-08", 1): 1,  # user 2 back in week 2
+    }
+
+
+def test_funnel_strict_ordering_and_first_touch(spark):
+    from btd.temporal import funnel
+
+    rows = [
+        # u1 completes in order: view, click, purchase
+        (1, _ts(0), "view"), (1, _ts(10), "click"), (1, _ts(20), "purchase"),
+        # u2: purchase BEFORE first view — must not count at stage 3
+        (2, _ts(5), "purchase"), (2, _ts(10), "view"), (2, _ts(15), "click"),
+        # u3: click before view only — stage 2 not reached
+        (3, _ts(0), "click"), (3, _ts(5), "view"),
+        # u4: never views
+        (4, _ts(0), "click"), (4, _ts(1), "purchase"),
+        # u5: view then click at the SAME ts (>= boundary counts)
+        (5, _ts(0), "view"), (5, _ts(0), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: (r.step_idx, r.n_users) for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {
+        "view": (0, 4),      # u1 u2 u3 u5
+        "click": (1, 3),     # u1, u2 (click after view), u5 (same-ts)
+        "purchase": (2, 1),  # only u1 purchases after the click anchor
+    }
+
+
+def test_funnel_first_touch_maximizes_later_stages(spark):
+    from btd.temporal import funnel
+
+    # anchor at the FIRST view (t=0) lets the t=5 click qualify even
+    # though a later view (t=10) would disqualify it
+    rows = [(1, _ts(0), "view"), (1, _ts(5), "click"), (1, _ts(10), "view")]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: r.n_users for r in funnel(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
