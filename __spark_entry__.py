@@ -384,6 +384,62 @@ def _q_kg_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (item pairs
+    sharing ≥2 orders). Degree-ordered orientation keeps wedge volume
+    hub-safe; the oracle closes wedges with plain id-ordering — any
+    orientation finds each triangle exactly once."""
+    from btd.analytics.cooccur import basket_cooccurrence
+    from btd.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    edges_df = basket_cooccurrence(
+        li, basket="l_orderkey", item="l_partkey", min_shared=2
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return triangle_count(edges_df)
+
+
+def _q_kg_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood-overlap link prediction (orders as nodes, parts as
+    shared neighbors): jaccard ≥ 0.5, hub neighbors (degree > 40)
+    purged before pairing — both scale knobs live in the gate."""
+    from btd.analytics.cooccur import neighborhood_jaccard
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return neighborhood_jaccard(
+        li,
+        node="l_orderkey",
+        neighbor="l_partkey",
+        min_jaccard=0.5,
+        max_neighbor_degree=40,
+    )
+
+
+def _q_kg_eval_pr(spark: SparkSession, sf: str) -> DataFrame:
+    """The north rule's acceptance metric AS an operator: distributed
+    set precision/recall of a degraded extraction run (even-indexed
+    turns only → known misses, plus one synthetic wrong triple per
+    conversation → known false positives) against the full extraction
+    as gold. ONE keyed full-outer join + a 1-row rollup — the
+    comparison a 10^12-turn corpus needs, vs the driver-side diff the
+    pytest asserts use."""
+    from btd.eval import set_pr
+
+    tx = transcripts_from_events(spark, sf)
+    gold = extract_triples(tx)
+    synth = tx.select("conv_id").distinct().select(
+        F.col("conv_id").alias("subj"),
+        F.lit("_synthetic").alias("pred"),
+        F.lit("x").alias("obj"),
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+    )
+    got = extract_triples(
+        tx.where(F.col("turn_idx") % 2 == 0)
+    ).unionByName(synth)
+    return set_pr(got, gold, ["subj", "pred", "obj", "conv_id", "turn_idx"])
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -772,6 +828,9 @@ def queries() -> dict[str, QueryFn]:
         "ev_retention": _q_ev_retention,
         "ev_funnel": _q_ev_funnel,
         "kg_copurchase": _q_kg_copurchase,
+        "kg_triangles": _q_kg_triangles,
+        "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
+        "kg_eval_pr": _q_kg_eval_pr,
         **queries_dataops(),
     }
 
@@ -1015,6 +1074,83 @@ def oracle_sql() -> dict[str, str]:
             FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
             GROUP BY a.i, c.i
             HAVING COUNT(*) >= 2""",
+        "kg_triangles": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS b,
+                                           l_partkey AS i
+                           FROM lineitem),
+            pairs AS (SELECT a.i AS u, c.i AS v
+                      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+                      GROUP BY a.i, c.i HAVING COUNT(*) >= 2),
+            tri AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w
+                    FROM pairs e1
+                    JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+            nodes AS (SELECT u AS node FROM tri
+                      UNION ALL SELECT v FROM tri
+                      UNION ALL SELECT w FROM tri)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM nodes GROUP BY node""",
+        "kg_neighbor_jaccard": """
+            WITH e AS (SELECT DISTINCT l_partkey AS b, l_orderkey AS i
+                       FROM lineitem),
+            kept AS (SELECT b, i FROM
+                         (SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS sz
+                          FROM e)
+                     WHERE sz <= 40),
+            deg AS (SELECT i, COUNT(*) AS d FROM kept GROUP BY i),
+            common AS (SELECT a.i AS na, c.i AS nb, COUNT(*) AS n_common
+                       FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+                       GROUP BY a.i, c.i)
+            SELECT na AS node_a, nb AS node_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   ROUND(n_common / (da.d + db.d - n_common), 6) AS jaccard
+            FROM common
+            JOIN deg da ON da.i = na
+            JOIN deg db ON db.i = nb
+            WHERE ROUND(n_common / (da.d + db.d - n_common), 6) >= 0.5""",
+        "kg_eval_pr": f"""{tx},
+            gold AS (SELECT DISTINCT
+                   split_part(text, ' ', 1) AS subj,
+                   CASE WHEN text LIKE '% uses %' THEN 'uses'
+                        ELSE 'met_with' END AS pred,
+                   CASE WHEN text LIKE '% uses %'
+                        THEN substr(text, strpos(text, ' uses ') + 6,
+                                    length(text) - strpos(text, ' uses ') - 6)
+                        ELSE substr(text, strpos(text, ' met with ') + 10,
+                                    length(text) - strpos(text, ' met with ') - 10)
+                   END AS obj,
+                   conv_id, turn_idx
+            FROM tx),
+            gote AS (SELECT DISTINCT
+                   split_part(text, ' ', 1) AS subj,
+                   CASE WHEN text LIKE '% uses %' THEN 'uses'
+                        ELSE 'met_with' END AS pred,
+                   CASE WHEN text LIKE '% uses %'
+                        THEN substr(text, strpos(text, ' uses ') + 6,
+                                    length(text) - strpos(text, ' uses ') - 6)
+                        ELSE substr(text, strpos(text, ' met with ') + 10,
+                                    length(text) - strpos(text, ' met with ') - 10)
+                   END AS obj,
+                   conv_id, turn_idx
+            FROM tx WHERE turn_idx % 2 = 0),
+            synth AS (SELECT DISTINCT conv_id AS subj, '_synthetic' AS pred,
+                             'x' AS obj, conv_id, CAST(-1 AS INTEGER) AS turn_idx
+                      FROM tx),
+            got AS (SELECT * FROM gote UNION SELECT * FROM synth),
+            counts AS (SELECT
+                (SELECT COUNT(*) FROM (SELECT * FROM got INTERSECT
+                                       SELECT * FROM gold)) AS tp,
+                (SELECT COUNT(*) FROM (SELECT * FROM got EXCEPT
+                                       SELECT * FROM gold)) AS fp,
+                (SELECT COUNT(*) FROM (SELECT * FROM gold EXCEPT
+                                       SELECT * FROM got)) AS fn)
+            SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   ROUND(tp / (tp + fp), 6) AS precision,
+                   ROUND(tp / (tp + fn), 6) AS recall,
+                   ROUND(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                         / (tp / (tp + fp) + tp / (tp + fn)), 6) AS f1
+            FROM counts""",
         "kg_khop": f"""WITH RECURSIVE edges AS ({EDGES_SQL}),
             eg AS (SELECT DISTINCT subject AS s, object AS n FROM edges),
             reach(root, node, hops) AS (

@@ -127,8 +127,10 @@ def main() -> None:
             "kg_entities", "kg_pagerank", "ev_sessionize",
             "ev_asof_join", "ev_range_count",
             # round-3 additions with real shuffle surface: BFS joins,
-            # bigram-model join, basket pair counting
+            # bigram-model join, basket pair counting, shared-neighbor
+            # pair generation (the Σ deg² plan worth watching at 10×)
             "kg_khop", "doc_lm_score", "kg_copurchase",
+            "kg_neighbor_jaccard",
         ]
         try:
             from BENCH.make_scale import ensure

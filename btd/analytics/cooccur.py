@@ -61,3 +61,70 @@ def basket_cooccurrence(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .where(F.col("n_baskets") >= min_shared)
     )
+
+
+def neighborhood_jaccard(
+    df: DataFrame,
+    node: str,
+    neighbor: str,
+    min_jaccard: float = 0.0,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """(node_a, node_b, n_common, jaccard): neighborhood-overlap link
+    prediction — for node pairs sharing at least one neighbor,
+    J = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, node_a < node_b. The classic
+    structural-similarity score (who talks to the same tools / buys
+    the same parts / cites the same entities).
+
+    Candidate generation IS basket co-occurrence with the roles
+    flipped (basket = shared neighbor): pairs only materialize through
+    a common neighbor, so volume is Σ deg(neighbor)² — bounded by
+    neighbor fan-in, not node-pairs. A non-discriminating hub neighbor
+    (everyone bought it → its deg² dominates while J-signal ≈ 0) is
+    purged by ``max_neighbor_degree`` BEFORE pairing; degrees for the
+    union term come from the SAME purged edge set, so the emitted
+    jaccard is exact over the operator's post-purge graph (documented
+    contract — not an approximation of the unpurged value).
+
+    jaccard is ROUND(,6) from an exact integer ratio — engine-stable.
+    ``min_jaccard`` prunes the OUTPUT only (all candidates are still
+    counted; at scale you set it high and let the count stay partial-
+    aggregated).
+    """
+    pairs = df.select(
+        F.col(neighbor).alias("_b"), F.col(node).alias("_i")
+    ).distinct()
+    if max_neighbor_degree is not None:
+        w = Window.partitionBy("_b")
+        pairs = (
+            pairs.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .where(F.col("_sz") <= max_neighbor_degree)
+            .drop("_sz")
+        )
+    deg = pairs.groupBy(F.col("_i").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    other = pairs.select("_b", F.col("_i").alias("_j"))
+    common = (
+        pairs.join(other, "_b")
+        .where(F.col("_i") < F.col("_j"))
+        .groupBy("_i", "_j")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(deg.withColumnRenamed("_n", "_i"), "_i")
+        .withColumnRenamed("_deg", "_di")
+        .join(deg.withColumnRenamed("_n", "_j"), "_j")
+        .withColumnRenamed("_deg", "_dj")
+        .select(
+            F.col("_i").alias("node_a"),
+            F.col("_j").alias("node_b"),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_di") + F.col("_dj") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

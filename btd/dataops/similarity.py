@@ -237,13 +237,21 @@ def auto_lsh_bits(n: int, n_tables: int = 8, target_pairs_per_vec: int = 1024) -
     target trades recall for cost (measured at 2k random vectors,
     rank-1 vs exact: 1024 -> bits 4, recall 0.77; 512 -> bits 5, 0.57;
     128 -> bits 7, 0.29 — random vectors are the adversarial case,
-    real embedding corpora have stronger neighbors). The default keeps
-    candidate volume linear in n at ~1024 pairs/vector.
+    real embedding corpora have stronger neighbors).
+
+    CEIL, not round: b must be the smallest width whose expected
+    occupancy meets the target, so target is a guaranteed UPPER bound
+    on pairs/vector at every n. round() let the sawtooth overshoot to
+    1.41x target between integer widths, which the 10x scale probe
+    caught as superlinear candidate growth (n=20k: round gave bits 7 =
+    1,357 pairs/vec, 27.1M candidates; ceil gives bits 8 = 718
+    pairs/vec, 14.4M — 4x less wall for a recall step 0.35->0.25 on
+    the random-vector worst case; see SCALE.md "LSH width rounding").
     """
     import math
 
     raw = math.log2(max(n_tables * n / max(target_pairs_per_vec, 1), 1))
-    return max(4, min(20, round(raw)))
+    return max(4, min(20, math.ceil(raw)))
 
 
 def auto_nlist(n: int) -> int:

@@ -1,0 +1,98 @@
+"""Unit fixtures for the round-3 graph/eval operators: distributed set
+P/R (btd.eval), degree-oriented triangle counting, and neighborhood-
+jaccard link prediction (btd.analytics.cooccur). The sf0.01 gate twins
+live in tests/test_oracle_parity.py (kg_eval_pr, kg_triangles,
+kg_neighbor_jaccard)."""
+
+import pytest
+
+
+def test_set_pr_counts_and_ratios(spark):
+    from btd.eval import set_pr
+
+    got = spark.createDataFrame(
+        # (a,b) dup must collapse; (x,y) is the false positive
+        [("a", "b"), ("a", "b"), ("c", "d"), ("x", "y")],
+        "s string, o string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")],
+        "s string, o string",
+    )
+    r = set_pr(got, gold, ["s", "o"]).collect()[0]
+    assert (r.tp, r.fp, r.fn) == (2, 1, 2)
+    assert r.precision == pytest.approx(2 / 3, abs=1e-6)
+    assert r.recall == pytest.approx(0.5, abs=1e-6)
+    p, q = 2 / 3, 0.5
+    assert r.f1 == pytest.approx(2 * p * q / (p + q), abs=1e-6)
+
+
+def test_set_pr_empty_got_gives_null_precision(spark):
+    from btd.eval import set_pr
+
+    got = spark.createDataFrame([], "s string, o string")
+    gold = spark.createDataFrame([("a", "b")], "s string, o string")
+    r = set_pr(got, gold, ["s", "o"]).collect()[0]
+    assert (r.tp, r.fp, r.fn) == (0, 0, 1)
+    assert r.precision is None  # 0/0 is unmeasured, not zero
+    assert r.recall == 0.0
+
+
+def test_triangle_count_k4_with_noise(spark):
+    """K4 (every node in 3 of the 4 triangles) plus a pendant edge,
+    a duplicate, a reversed edge, and a self-loop — the normalization
+    must erase direction/dups/loops; the pendant node has none."""
+    from btd.graph import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (2, 1),          # reverse of an existing edge
+        (3, 4),          # duplicate
+        (4, 4),          # self-loop
+        (4, 5),          # pendant
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_hub_star_has_none(spark):
+    """A star (hub + leaves, no leaf-leaf edges) has zero triangles —
+    and under degree-ordering the hub contributes zero wedges (all its
+    edges orient INTO it), the property that keeps power-law graphs
+    cheap."""
+    from btd.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 20)], "src long, dst long"
+    )
+    assert triangle_count(df).count() == 0
+
+
+def test_neighborhood_jaccard_values_and_purge(spark):
+    from btd.analytics.cooccur import neighborhood_jaccard
+
+    rows = [
+        # N(1)={a,b}, N(2)={a,b}, N(3)={b,c}; hub neighbor h touches all
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b"), (3, "c"),
+        (1, "h"), (2, "h"), (3, "h"), (4, "h"),
+    ]
+    df = spark.createDataFrame(rows, "node long, nb string")
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in neighborhood_jaccard(
+            df, "node", "nb", max_neighbor_degree=3
+        ).collect()
+    }
+    # h purged (degree 4): degrees are post-purge (node 4 disappears)
+    assert got == {
+        (1, 2): (2, 1.0),
+        (1, 3): (1, pytest.approx(1 / 3, abs=1e-6)),
+        (2, 3): (1, pytest.approx(1 / 3, abs=1e-6)),
+    }
+    # without the cap, the hub links everyone (incl. node 4), J shifts
+    full = {
+        (r.node_a, r.node_b): r.n_common
+        for r in neighborhood_jaccard(df, "node", "nb").collect()
+    }
+    assert (1, 4) in full and full[(1, 2)] == 3

@@ -333,3 +333,43 @@ def test_bigram_lm_broadcasts_vocab_only(spark):
     plan = _plan(bigram_lm_scores(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """Wedge build + closing join must both be equi-joins (struct keys
+    hash fine); no cartesian fallback. The per-node rollup gets partial
+    aggregation."""
+    from btd.analytics.cooccur import basket_cooccurrence
+    from btd.graph import triangle_count
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ed = basket_cooccurrence(
+        li, basket="l_orderkey", item="l_partkey", min_shared=2
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    plan = _plan(triangle_count(ed))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_set_pr_is_one_full_outer_join(spark):
+    """The P/R compare is ONE keyed full-outer join + a 1-row rollup —
+    no driver-side set diff, no nested-loop."""
+    from btd.eval import set_pr
+    from btd.extract.derive import transcripts_from_events
+    from btd.extract.relations import extract_triples
+
+    tx = transcripts_from_events(spark, SF)
+    gold = extract_triples(tx)
+    got = extract_triples(tx.where(F.col("turn_idx") % 2 == 0))
+    plan = _plan(set_pr(got, gold, ["subj", "pred", "obj"]))
+    assert "SortMergeJoin FullOuter" in plan
+    # ... and it is the ONLY join in the whole compare
+    for op in (
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert op not in plan
+    assert plan.count("SortMergeJoin FullOuter") == 1
