@@ -415,6 +415,30 @@ def _q_kg_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic–Adar link prediction on the same order/part bipartite
+    fixture as kg_neighbor_jaccard — log-damped shared-neighbor
+    evidence, hub purge at degree 40, output thresholded at 0.5 (on
+    the ROUND(,6) score, mirrored in the twin)."""
+    from btd.analytics.cooccur import adamic_adar
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return adamic_adar(
+        li, node="l_orderkey", neighbor="l_partkey", max_neighbor_degree=40
+    ).where(F.col("aa_score") >= 0.5)
+
+
+def _q_doc_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional inverted index over documents, hapax-ish terms
+    dropped (min_df=5). Positions ride as an ascending comma-joined
+    scalar so the compare is order-exact without array hashing."""
+    from btd.dataops.textstats import postings
+
+    return postings(
+        spark.read.parquet(f"{sf}/documents.parquet"), min_df=5
+    )
+
+
 def _q_kg_eval_pr(spark: SparkSession, sf: str) -> DataFrame:
     """The north rule's acceptance metric AS an operator: distributed
     set precision/recall of a degraded extraction run (even-indexed
@@ -830,7 +854,9 @@ def queries() -> dict[str, QueryFn]:
         "kg_copurchase": _q_kg_copurchase,
         "kg_triangles": _q_kg_triangles,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
+        "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_eval_pr": _q_kg_eval_pr,
+        "doc_postings": _q_doc_postings,
         **queries_dataops(),
     }
 
@@ -1108,6 +1134,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON da.i = na
             JOIN deg db ON db.i = nb
             WHERE ROUND(n_common / (da.d + db.d - n_common), 6) >= 0.5""",
+        "kg_adamic_adar": """
+            WITH e AS (SELECT DISTINCT l_partkey AS b, l_orderkey AS i
+                       FROM lineitem),
+            kept AS (SELECT b, i FROM
+                         (SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS sz
+                          FROM e)
+                     WHERE sz <= 40),
+            deg AS (SELECT b, COUNT(*) AS d FROM kept GROUP BY b),
+            wt AS (SELECT k.b, k.i, 1.0 / ln(d.d) AS w
+                   FROM kept k JOIN deg d USING (b))
+            SELECT a.i AS node_a, c.i AS node_b,
+                   ROUND(SUM(a.w), 6) AS aa_score
+            FROM wt a JOIN wt c ON a.b = c.b AND a.i < c.i
+            GROUP BY a.i, c.i
+            HAVING ROUND(SUM(a.w), 6) >= 0.5""",
+        "doc_postings": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS term,
+                                generate_subscripts(
+                                    string_split(text, ' '), 1) - 1 AS pos
+                         FROM documents),
+            pl AS (SELECT term, doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS tf,
+                          string_agg(CAST(pos AS VARCHAR), ','
+                                     ORDER BY pos) AS positions
+                   FROM tok GROUP BY term, doc_id)
+            SELECT term, doc_id, tf, positions FROM
+                (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM pl)
+            WHERE df >= 5""",
         "kg_eval_pr": f"""{tx},
             gold AS (SELECT DISTINCT
                    split_part(text, ' ', 1) AS subj,

@@ -128,3 +128,53 @@ def neighborhood_jaccard(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def adamic_adar(
+    df: DataFrame,
+    node: str,
+    neighbor: str,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """(node_a, node_b, aa_score): Adamic–Adar link prediction —
+    AA(a,b) = Σ over shared neighbors z of 1/ln(deg(z)). The
+    log-damping is the semantic difference from
+    :func:`neighborhood_jaccard`: a rare shared neighbor (deg 2) is
+    strong evidence, a common one nearly none — the standard baseline
+    the jaccard score over-weights hubs against.
+
+    Same candidate-generation scale shape (pairs only through shared
+    neighbors, Σ deg² bounded, ``max_neighbor_degree`` purge knob),
+    but the per-neighbor weight rides the pairing join, so scoring
+    needs NO degree re-join afterward: distinct edges → neighbor
+    degree (one partial-aggregated exchange) → self-join through the
+    neighbor carrying 1/ln(deg) → pair-keyed sum. A degree-1 neighbor
+    is shared by nobody, so ln(deg) ≥ ln 2 wherever a weight is
+    evaluated — no division hazard.
+
+    aa_score is ROUND(,6): addends are exact same-input doubles on
+    both engines; the pair-sum's summation-order drift (~1e-15) sits
+    9 orders below the rounding step.
+    """
+    pairs = df.select(
+        F.col(neighbor).alias("_b"), F.col(node).alias("_i")
+    ).distinct()
+    if max_neighbor_degree is not None:
+        w = Window.partitionBy("_b")
+        pairs = (
+            pairs.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .where(F.col("_sz") <= max_neighbor_degree)
+            .drop("_sz")
+        )
+    deg = pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_deg"))
+    weighted = pairs.join(deg, "_b").select(
+        "_b", "_i", (F.lit(1.0) / F.log(F.col("_deg"))).alias("_w")
+    )
+    other = weighted.select("_b", F.col("_i").alias("_j"), "_w")
+    return (
+        weighted.drop("_w")
+        .join(other, "_b")
+        .where(F.col("_i") < F.col("_j"))
+        .groupBy(F.col("_i").alias("node_a"), F.col("_j").alias("node_b"))
+        .agg(F.round(F.sum("_w"), 6).alias("aa_score"))
+    )

@@ -262,3 +262,43 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("avg_logp"),
     )
+
+
+def postings(docs: DataFrame, min_df: int | None = None) -> DataFrame:
+    """(term, doc_id, tf, positions): the positional inverted index as
+    a posting TABLE — the primitive under phrase search, n-gram
+    decontamination, and the AllPairs prefix filter (which consumes
+    exactly these posting lists). ``positions`` is the 0-based token
+    offsets of the term in the doc, ascending, comma-joined — a scalar
+    string so cross-engine comparison is order-exact without array
+    hashing.
+
+    Rows, not per-term arrays: a collect_list-of-all-docs per term
+    rebuilds the hot-key problem (a stopword's posting list is
+    corpus-sized in ONE aggregation buffer); the row form keeps every
+    operator partial-aggregated and lets consumers range-prune by
+    term. Plan: posexplode (narrow) → ONE exchange keyed (term,
+    doc_id) building tf + sorted positions → optional document-
+    frequency filter as a window count over the term key (``min_df``
+    drops hapax noise without a second self-join).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    pl = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(F.sort_array(F.collect_list("pos")), ",").alias(
+            "positions"
+        ),
+    )
+    if min_df is not None:
+        w = Window.partitionBy("term")
+        pl = (
+            pl.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") >= min_df)
+            .drop("_df")
+        )
+    return pl.select("term", "doc_id", "tf", "positions")

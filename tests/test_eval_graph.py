@@ -96,3 +96,47 @@ def test_neighborhood_jaccard_values_and_purge(spark):
         for r in neighborhood_jaccard(df, "node", "nb").collect()
     }
     assert (1, 4) in full and full[(1, 2)] == 3
+
+
+def test_adamic_adar_values(spark):
+    import math
+
+    from btd.analytics.cooccur import adamic_adar
+
+    rows = [
+        # z1 shared by {1,2} (deg 2), z2 shared by {1,2,3} (deg 3)
+        (1, "z1"), (2, "z1"), (1, "z2"), (2, "z2"), (3, "z2"),
+    ]
+    df = spark.createDataFrame(rows, "node long, nb string")
+    got = {
+        (r.node_a, r.node_b): r.aa_score
+        for r in adamic_adar(df, "node", "nb").collect()
+    }
+    assert got == {
+        (1, 2): pytest.approx(
+            round(1 / math.log(2) + 1 / math.log(3), 6), abs=1e-9
+        ),
+        (1, 3): pytest.approx(round(1 / math.log(3), 6), abs=1e-9),
+        (2, 3): pytest.approx(round(1 / math.log(3), 6), abs=1e-9),
+    }
+
+
+def test_postings_positions_and_min_df(spark):
+    from btd.dataops.textstats import postings
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a"), (3, "c c")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.term, r.doc_id): (r.tf, r.positions)
+        for r in postings(docs).collect()
+    }
+    assert got[("a", 1)] == (2, "0,2")
+    assert got[("a", 2)] == (1, "1")
+    assert got[("c", 3)] == (2, "0,1")
+    # min_df drops terms below the document-frequency floor
+    kept = {r.term for r in postings(docs, min_df=2).collect()}
+    assert kept == {"a", "b", "c"}
+    kept3 = {r.term for r in postings(docs, min_df=3).collect()}
+    assert kept3 == set()
