@@ -47,10 +47,48 @@ def cleanup(spark) -> None:
             spark.catalog.dropTempView(t.name)
 
 
+def _calib_work(_=None) -> float:
+    """One fixed matmul workload; module-level so Pool can pickle it."""
+    import time as _t
+
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(600, 600)
+    t0 = _t.perf_counter()
+    for _i in range(20):
+        a @ a
+    return _t.perf_counter() - t0
+
+
+def host_calibration() -> dict:
+    """~2 s pure-CPU probe of the sandbox host, recorded in the result
+    so a contended run is visible IN the artifact instead of reading as
+    an engine regression. Two signals: single_s = one-process matmul
+    wall (~0.28 s on this VM quiet; measured 1.2-1.3 s under neighbor
+    load — the whole-VM slowdown), and par8_over_single = per-process
+    slowdown when 8 run concurrently (~1.0-1.6 quiet; 6.8 measured
+    when neighbors owned the cores — the parallel-capacity slowdown).
+    Either signal >>2x its quiet value means every Spark timing in
+    this file is inflated by roughly that factor; compare records via
+    their calibrations before reading a wall delta as a regression.
+    """
+    from multiprocessing import Pool
+
+    single = _calib_work()
+    with Pool(8) as p:
+        par = p.map(_calib_work, range(8))
+    return {
+        "single_s": round(single, 3),
+        "par8_worst_s": round(max(par), 3),
+        "par8_over_single": round(max(par) / single, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    calib = host_calibration()  # before the JVM: clean fork, quiet cores
     spark = get_spark("btd-bench", cores=cores, shuffle_partitions=cores)
 
     qs = entrymod.queries()
@@ -105,6 +143,7 @@ def main() -> None:
         "extraction_turns": n_turns,
         "extraction_triples": n_triples,
         "extraction_triples_per_sec": round(n_triples / best, 1),
+        "host_calib": calib,
     }
 
     # 10x scale probe (VERDICT r1 #7): the shuffle-heavy headline subset
@@ -177,6 +216,7 @@ def main() -> None:
         "sf": out["sf"],
         "cores": out["cores"],
         "extraction_triples_per_sec": out["extraction_triples_per_sec"],
+        "host_calib": calib,
         "full_record": "BENCH/last_run.json",
     }
     sp = out.get("scale_probe")
