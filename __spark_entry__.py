@@ -415,6 +415,64 @@ def _q_kg_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 3-row moving average per user — ONE shuffle, bounded
+    frame state; deterministic (ts, event_id) tiebreak makes the float
+    frame identical on both engines."""
+    from btd.temporal import moving_avg
+
+    return moving_avg(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_ev_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping event-time windows (10 min window / 5 min slide) in
+    batch: the window() generator expands rows to their 2 owning
+    windows (narrow), then one partial-aggregated exchange. The twin
+    enumerates the slide-aligned starts arithmetically."""
+    from btd.temporal import hopping_window_counts
+
+    return hopping_window_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_kg_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental KG maintenance: MERGE updated containment edges
+    (context rewritten) plus brand-new part-existence triples into the
+    materialized edge set, keyed (subject, predicate, object) — one
+    window exchange, no join. Ambiguous duplicate keys tie-break on
+    the full remaining tuple, mirrored in the twin."""
+    from btd.materialize import upsert
+
+    ex = edges(spark, sf)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    upd = li.where(F.col("l_orderkey") % 5 == 0).select(
+        F.concat(F.lit("<o"), F.col("l_orderkey").cast("string"), F.lit(">"))
+        .alias("subject"),
+        F.lit("<contains>").alias("predicate"),
+        F.when(
+            F.col("l_partkey") % 7 == 0,
+            F.concat(F.lit("_:p"), F.col("l_partkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("<p"), F.col("l_partkey").cast("string"), F.lit(">"))
+        )
+        .alias("object"),
+        F.lit("<upd>").alias("context"),
+    )
+    new = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .where(F.col("p_partkey") % 100 == 0)
+        .select(
+            F.concat(
+                F.lit("<p"), F.col("p_partkey").cast("string"), F.lit(">")
+            ).alias("subject"),
+            F.lit("<exists>").alias("predicate"),
+            F.lit("true").alias("object"),
+            F.lit("").alias("context"),
+        )
+    )
+    return upsert(ex, upd.unionByName(new), ["subject", "predicate", "object"])
+
+
 def _q_kg_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     """Adamic–Adar link prediction on the same order/part bipartite
     fixture as kg_neighbor_jaccard — log-damped shared-neighbor
@@ -856,7 +914,10 @@ def queries() -> dict[str, QueryFn]:
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_eval_pr": _q_kg_eval_pr,
+        "kg_upsert": _q_kg_upsert,
         "doc_postings": _q_doc_postings,
+        "ev_moving_avg": _q_ev_moving_avg,
+        "ev_hopping": _q_ev_hopping,
         **queries_dataops(),
     }
 
@@ -1134,6 +1195,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON da.i = na
             JOIN deg db ON db.i = nb
             WHERE ROUND(n_common / (da.d + db.d - n_common), 6) >= 0.5""",
+        "ev_moving_avg": """
+            SELECT user_id, event_id, ts,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS mavg
+            FROM events""",
+        "ev_hopping": """
+            WITH ev AS (SELECT value,
+                               -- floor, not CAST: DuckDB's cast ROUNDS,
+                               -- pushing a .5+ fractional-second event
+                               -- across a slide boundary Spark keeps
+                               CAST(floor(epoch(ts)) AS BIGINT) AS e
+                        FROM events),
+            x AS (SELECT value,
+                         unnest([make_timestamp((e - e % 300 - 300)
+                                                * 1000000),
+                                 make_timestamp((e - e % 300)
+                                                * 1000000)]) AS ws
+                  FROM ev)
+            SELECT ws AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS total
+            FROM x GROUP BY ws""",
+        "kg_upsert": f"""
+            WITH ex AS ({EDGES_SQL}),
+            upd AS (SELECT '<o' || CAST(l_orderkey AS VARCHAR) || '>'
+                               AS subject,
+                           '<contains>' AS predicate,
+                           CASE WHEN l_partkey % 7 = 0
+                                THEN '_:p' || CAST(l_partkey AS VARCHAR)
+                                ELSE '<p' || CAST(l_partkey AS VARCHAR)
+                                     || '>' END AS object,
+                           '<upd>' AS context
+                    FROM lineitem WHERE l_orderkey % 5 = 0),
+            nw AS (SELECT '<p' || CAST(p_partkey AS VARCHAR) || '>'
+                              AS subject,
+                          '<exists>' AS predicate,
+                          'true' AS object,
+                          '' AS context
+                   FROM part WHERE p_partkey % 100 = 0),
+            tagged AS (SELECT *, 0 AS pri FROM upd
+                       UNION ALL SELECT *, 0 FROM nw
+                       UNION ALL SELECT *, 1 FROM ex),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY subject, predicate, object
+                      ORDER BY pri, context) AS rk
+                  FROM tagged)
+            SELECT subject, predicate, object, context
+            FROM r WHERE rk = 1""",
         "kg_adamic_adar": """
             WITH e AS (SELECT DISTINCT l_partkey AS b, l_orderkey AS i
                        FROM lineitem),

@@ -115,3 +115,43 @@ def read_stage(spark: SparkSession, path: str) -> DataFrame:
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as f:
         return json.load(f)
+
+
+def upsert(
+    existing: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE semantics without a table format: rows from ``updates``
+    replace same-key rows in ``existing``; unmatched existing rows
+    survive; brand-new keys insert — the incremental-maintenance
+    primitive for the materialized KG (re-extracting one day of
+    transcripts must not rewrite the whole graph). Where Iceberg is
+    live, MERGE INTO does this transactionally; this operator is the
+    engine-side batch twin the parquet+manifest fallback uses.
+
+    Plan: union the two sides with a priority tag, ONE window keyed on
+    ``keys`` ordered by priority, keep rank 1 — a single exchange,
+    no join, and Spark 4 prunes it map-side (WindowGroupLimit) so only
+    candidate winners travel the wire. If ``updates`` carries
+    duplicate keys itself that's caller ambiguity — tie-broken
+    deterministically by the full remaining column tuple (documented,
+    asserted in tests) rather than silently picking an arbitrary row.
+    """
+    from pyspark.sql import Window
+
+    cols = existing.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: {cols} vs {updates.columns}"
+        )
+    tagged = updates.select(*cols).withColumn(
+        "_pri", F.lit(0)
+    ).unionByName(existing.select(*cols).withColumn("_pri", F.lit(1)))
+    rest = [c for c in cols if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        "_pri", *[F.col(c) for c in rest]
+    )
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(*cols)
+    )

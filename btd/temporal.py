@@ -265,3 +265,69 @@ def funnel(
     return counted.select(
         F.explode(F.array(*rows)).alias("_e")
     ).select("_e.step", "_e.step_idx", "_e.n_users")
+
+
+def moving_avg(
+    events: DataFrame,
+    value: str = "value",
+    user: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    window_rows: int = 3,
+) -> DataFrame:
+    """(user_id, event_id, ts, mavg): trailing ``window_rows``-row
+    moving average of ``value`` per user in (ts, tiebreak) order — the
+    smoothing/trend primitive every event pipeline ships.
+
+    ONE shuffle (window partitioned by user); the frame is
+    rowsBetween(-(n-1), 0) so state per row is bounded by the frame,
+    not the partition. The deterministic tiebreak makes frame
+    membership — and therefore the float sum — identical across
+    engines; addends are summed in frame order on both, so ROUND(,6)
+    sits far above any drift.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user)
+        .orderBy(F.col(ts), F.col(tiebreak))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return events.select(
+        user,
+        tiebreak,
+        ts,
+        F.round(F.avg(value).over(w), 6).alias("mavg"),
+    )
+
+
+def hopping_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """(window_start, n_events, total): overlapping (hopping)
+    event-time windows — each event lands in window/slide windows
+    (2 here), the batch twin of the streaming hopping aggregation and
+    the shape behind "10-minute rate, refreshed every 5".
+
+    Spark's window() generator expands each row to its owning windows
+    (narrow — no self-join against a calendar table), then ONE
+    partial-aggregated exchange keyed by window start. Window starts
+    are epoch-aligned to the slide, so the DuckDB twin can enumerate
+    the same starts arithmetically. total is ROUND(,4): a per-window
+    double sum whose summation-order drift sits ~5 orders below the
+    rounding step at any realistic occupancy.
+    """
+    return (
+        events.groupBy(F.window(F.col(ts), window, slide).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value), 4).alias("total"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"), "n_events", "total"
+        )
+    )

@@ -373,3 +373,22 @@ def test_set_pr_is_one_full_outer_join(spark):
     ):
         assert op not in plan
     assert plan.count("SortMergeJoin FullOuter") == 1
+
+
+def test_upsert_is_single_window_no_join(spark):
+    """MERGE-without-a-table-format must compile to union + ONE window
+    exchange with the map-side WindowGroupLimit prune — no join."""
+    from btd.materialize import upsert
+    from btd.star import edges
+
+    ex = edges(spark, SF)
+    upd = ex.where(F.col("predicate") == "<contains>").withColumn(
+        "context", F.lit("<upd>")
+    )
+    plan = _plan(upsert(ex, upd, ["subject", "predicate", "object"]))
+    assert "Join" not in plan
+    # partial (map-side) + final WindowGroupLimit around the single
+    # key exchange: only candidate winners travel the wire
+    assert plan.count("WindowGroupLimit") >= 2
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1

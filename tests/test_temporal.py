@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+from pyspark.sql import functions as F
+
 from btd.temporal import asof_join, range_join_count
 
 
@@ -204,3 +207,75 @@ def test_funnel_first_touch_maximizes_later_stages(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     got = {r.step: r.n_users for r in funnel(ev, ["view", "click"]).collect()}
     assert got == {"view": 1, "click": 1}
+
+
+def test_moving_avg_frame_values(spark):
+    from btd.temporal import moving_avg
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (1, 2, "2024-01-01 00:01:00", 20.0),
+        (1, 3, "2024-01-01 00:02:00", 60.0),
+        (1, 4, "2024-01-01 00:03:00", 30.0),
+        (2, 5, "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r.mavg for r in moving_avg(df).collect()}
+    assert got == {
+        1: 10.0,
+        2: 15.0,
+        3: 30.0,
+        4: pytest.approx(round((20 + 60 + 30) / 3, 6)),
+        5: 5.0,
+    }
+
+
+def test_hopping_windows_double_count(spark):
+    from btd.temporal import hopping_window_counts
+
+    rows = [
+        (1, "2024-01-01 00:01:00", 1.0),   # windows 23:55 and 00:00
+        (2, "2024-01-01 00:06:00", 2.0),   # windows 00:00 and 00:05
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        str(r.window_start): (r.n_events, r.total)
+        for r in hopping_window_counts(df).collect()
+    }
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(n for n, _ in got.values()) == 4
+    assert got["2024-01-01 00:00:00"] == (2, 3.0)
+    assert got["2023-12-31 23:55:00"] == (1, 1.0)
+    assert got["2024-01-01 00:05:00"] == (1, 2.0)
+
+
+def test_upsert_merge_semantics(spark):
+    from btd.materialize import upsert
+
+    ex = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 2, "keep"), ("dup", 3, "x"),
+         ("dup", 3, "y")],
+        "k string, k2 long, payload string",
+    )
+    up = spark.createDataFrame(
+        [("a", 1, "new"), ("c", 9, "insert"), ("amb", 5, "q"),
+         ("amb", 5, "p")],
+        "k string, k2 long, payload string",
+    )
+    got = {(r.k, r.k2): r.payload
+           for r in upsert(ex, up, ["k", "k2"]).collect()}
+    assert got == {
+        ("a", 1): "new",       # update wins
+        ("b", 2): "keep",      # untouched survives
+        ("c", 9): "insert",    # new key inserts
+        ("dup", 3): "x",       # existing dup keys collapse, min tuple
+        ("amb", 5): "p",       # ambiguous update keys: deterministic
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        upsert(ex, up.drop("payload"), ["k"])
