@@ -48,29 +48,35 @@ def cleanup(spark) -> None:
 
 
 def _calib_work(_=None) -> float:
-    """One fixed matmul workload; module-level so Pool can pickle it."""
+    """One fixed pure-Python workload (xorshift loop); module-level so
+    Pool can pickle it. Deliberately NOT numpy: BLAS multithreading
+    fans a single matmul across every idle core, which makes the
+    single-process wall measure host idleness instead of per-core
+    speed (observed 0.06 s idle vs 1.24 s busy for the same matmul —
+    a 20x swing that says nothing about one core)."""
     import time as _t
 
-    import numpy as np
-
-    a = np.random.RandomState(0).rand(600, 600)
     t0 = _t.perf_counter()
-    for _i in range(20):
-        a @ a
+    x = 0x9E3779B9
+    for _i in range(2_000_000):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
     return _t.perf_counter() - t0
 
 
 def host_calibration() -> dict:
     """~2 s pure-CPU probe of the sandbox host, recorded in the result
     so a contended run is visible IN the artifact instead of reading as
-    an engine regression. Two signals: single_s = one-process matmul
-    wall (~0.28 s on this VM quiet; measured 1.2-1.3 s under neighbor
-    load — the whole-VM slowdown), and par8_over_single = per-process
-    slowdown when 8 run concurrently (~1.0-1.6 quiet; 6.8 measured
-    when neighbors owned the cores — the parallel-capacity slowdown).
-    Either signal >>2x its quiet value means every Spark timing in
-    this file is inflated by roughly that factor; compare records via
-    their calibrations before reading a wall delta as a regression.
+    an engine regression. Two signals: single_s = one-process wall of
+    the fixed loop (0.62-0.74 s measured on this VM quiet — the
+    whole-VM slowdown signal), and par8_over_single = per-process
+    slowdown when 8 run concurrently (1.1-1.5 quiet; a matmul variant
+    of this probe measured 6.8 while neighbors owned the cores — the
+    parallel-capacity slowdown signal). Either signal >>2x its quiet
+    value means every Spark timing in this file is inflated by roughly
+    that factor; compare records via their calibrations before reading
+    a wall delta as a regression.
     """
     from multiprocessing import Pool
 
