@@ -648,6 +648,31 @@ def _q_stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (overlapping) event-time windows on the STREAM: the same
+    window() generator as the tumbling gate but with a 5-min slide, so
+    every turn lands in 2 windows and the state store carries the
+    overlap — the 'rate over 10 min, refreshed every 5' streaming
+    shape. Complete-mode drain; twin enumerates slide-aligned starts."""
+    from btd.streaming import (
+        run_to_memory,
+        stream_transcripts,
+        windowed_turn_counts,
+    )
+
+    path = _write_transcripts_tmp(spark, sf)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_hopping_{_STREAM_SEQ[0]}"
+    run_to_memory(
+        windowed_turn_counts(
+            stream_transcripts(spark, path), slide="5 minutes"
+        ),
+        name,
+        mode="complete",
+    )
+    return spark.table(name)
+
+
 def _q_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator in the gate:
     applyInPandasWithState gap-sessionization over a file-source
@@ -895,6 +920,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_turn_integrity": _q_kg_turn_integrity,
         "stream_extract_triples": _q_stream_extract,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_hopping": _q_stream_hopping,
         "stream_sessionize": _q_stream_sessionize,
         "stream_dedup": _q_stream_dedup,
         "stream_enrich": _q_stream_enrich,
@@ -1489,6 +1515,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles
             FROM tx
             GROUP BY 1, 2, 3""",
+        "stream_hopping": f"""{tx},
+            hop AS (SELECT conv_id, role,
+                           unnest([CAST(floor(epoch(ts)) AS BIGINT)
+                                   - CAST(floor(epoch(ts)) AS BIGINT) % 300
+                                   - 300,
+                                   CAST(floor(epoch(ts)) AS BIGINT)
+                                   - CAST(floor(epoch(ts)) AS BIGINT) % 300])
+                               AS ws
+                    FROM tx)
+            SELECT make_timestamp(ws * 1000000) AS window_start,
+                   make_timestamp((ws + 600) * 1000000) AS window_end,
+                   conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles
+            FROM hop GROUP BY 1, 2, 3""",
         "kg_turn_integrity": f"""{tx}
             SELECT conv_id,
                    CAST(COUNT(*) AS BIGINT) AS n_turns,
