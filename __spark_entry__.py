@@ -415,6 +415,44 @@ def _q_kg_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profiler over events (nulls, exact distincts,
+    string-rendered min/max) — the ingest health check that runs before
+    anything else; single aggregation, stack() to long form, no driver
+    work beyond the tiny result."""
+    from btd.quality import profile_table
+
+    return profile_table(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        ["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+
+def _q_kg_fk_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint report over the star schema: two referential checks
+    (anti-joins — clean on this data, the zeros are the assertion) and
+    one uniqueness check with REAL violations (lineitem repeats
+    (orderkey, partkey) across suppliers — 110 rows at sf0.01)."""
+    from btd.quality import constraint_report, duplicate_keys, fk_violations
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return constraint_report(
+        {
+            "lineitem_orderkey_fk": fk_violations(
+                li, "l_orderkey", orders, "o_orderkey"
+            ),
+            "orders_custkey_fk": fk_violations(
+                orders, "o_custkey", cust, "c_custkey"
+            ),
+            "lineitem_orderpart_unique": duplicate_keys(
+                li, ["l_orderkey", "l_partkey"]
+            ),
+        }
+    )
+
+
 def _q_ev_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     """Trailing 3-row moving average per user — ONE shuffle, bounded
     frame state; deterministic (ts, event_id) tiebreak makes the float
@@ -944,6 +982,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_postings": _q_doc_postings,
         "ev_moving_avg": _q_ev_moving_avg,
         "ev_hopping": _q_ev_hopping,
+        "ev_profile": _q_ev_profile,
+        "kg_fk_check": _q_kg_fk_check,
         **queries_dataops(),
     }
 
@@ -1221,6 +1261,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON da.i = na
             JOIN deg db ON db.i = nb
             WHERE ROUND(n_common / (da.d + db.d - n_common), 6) >= 0.5""",
+        "ev_profile": """
+            SELECT 'event_id' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   MIN(CAST(event_id AS VARCHAR)) AS min_value,
+                   MAX(CAST(event_id AS VARCHAR)) AS max_value
+            FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*),
+                   SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT user_id),
+                   MIN(CAST(user_id AS VARCHAR)),
+                   MAX(CAST(user_id AS VARCHAR))
+            FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*),
+                   SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT event_type),
+                   MIN(event_type), MAX(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*),
+                   SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT value),
+                   MIN(CAST(value AS VARCHAR)),
+                   MAX(CAST(value AS VARCHAR))
+            FROM events
+            UNION ALL
+            SELECT 'props', COUNT(*),
+                   SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT props),
+                   MIN(props), MAX(props)
+            FROM events""",
+        "kg_fk_check": """
+            SELECT 'lineitem_orderkey_fk' AS "constraint",
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         WHERE l.l_orderkey IS NULL OR NOT EXISTS
+                             (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+                        AS BIGINT) AS n_violations
+            UNION ALL
+            SELECT 'orders_custkey_fk',
+                   CAST((SELECT COUNT(*) FROM orders o
+                         WHERE o.o_custkey IS NULL OR NOT EXISTS
+                             (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem_orderpart_unique',
+                   CAST((SELECT COALESCE(SUM(c), 0) FROM
+                             (SELECT COUNT(*) AS c FROM lineitem
+                              GROUP BY l_orderkey, l_partkey
+                              HAVING COUNT(*) > 1))
+                        AS BIGINT)""",
         "ev_moving_avg": """
             SELECT user_id, event_id, ts,
                    ROUND(AVG(value) OVER (

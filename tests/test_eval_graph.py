@@ -140,3 +140,48 @@ def test_postings_positions_and_min_df(spark):
     assert kept == {"a", "b", "c"}
     kept3 = {r.term for r in postings(docs, min_df=3).collect()}
     assert kept3 == set()
+
+
+def test_profile_table_values(spark):
+    from btd.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string"
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_rows == 3 and got["k"].n_nulls == 0
+    assert got["k"].n_distinct == 2
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "2")
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+    # approx mode keeps the same shape (HLL exact at these cardinalities)
+    approx = {r.column: r.n_distinct
+              for r in profile_table(df, exact=False).collect()}
+    assert approx == {"k": 2, "s": 2}
+
+
+def test_fk_violations_and_nulls(spark):
+    from btd.quality import fk_violations
+
+    child = spark.createDataFrame(
+        [(1, "x"), (9, "dangling"), (None, "nullkey")],
+        "fk long, payload string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (None,)], "pk long")
+    got = {r.payload for r in
+           fk_violations(child, "fk", parent, "pk").collect()}
+    assert got == {"dangling", "nullkey"}
+
+
+def test_duplicate_keys_returns_whole_groups(spark):
+    from btd.quality import constraint_report, duplicate_keys
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    dups = duplicate_keys(df, ["k"])
+    assert {(r.k, r.v) for r in dups.collect()} == {(1, "a"), (1, "b")}
+    rep = {r.constraint: r.n_violations for r in constraint_report(
+        {"k_unique": dups, "clean": duplicate_keys(df, ["v"])}
+    ).collect()}
+    assert rep == {"k_unique": 2, "clean": 0}
