@@ -129,18 +129,27 @@ def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:
 
 
 def lsh_bucket(
-    emb: DataFrame, dim: int, n_tables: int = 8, bits: int = 4
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    bits: int = 4,
+    carry_embedding: bool = False,
 ) -> DataFrame:
-    """(vec_id, bucket): each vector exploded into ``n_tables`` bucket
-    keys, each a ``bits``-bit sign signature over its own hyperplane
-    set. Multi-table LSH: a true neighbor missed by one table is caught
-    by another — recall 1-(1-p^bits)^n_tables instead of single-table
-    p^bits.
+    """(vec_id, bucket[, embedding]): each vector exploded into
+    ``n_tables`` bucket keys, each a ``bits``-bit sign signature over
+    its own hyperplane set. Multi-table LSH: a true neighbor missed by
+    one table is caught by another — recall 1-(1-p^bits)^n_tables
+    instead of single-table p^bits.
 
     All ``n_tables*bits`` plane dots are one Arrow-batched numpy matmul
     per batch — a Catalyst ``aggregate(zip_with(...))`` fold per plane
     is interpreted per element (higher-order functions don't enter
     codegen) and measured ~5× slower at this kernel's width.
+
+    ``carry_embedding``: emit the vector alongside each bucket key so
+    downstream bucket-LOCAL scoring needs no join back to the table —
+    n_tables copies of each vector shuffle exactly once (the shape the
+    100x probe demanded; see :func:`_bucket_local_pairs`).
     """
     import numpy as np
     import pandas as pd
@@ -164,25 +173,35 @@ def lsh_bucket(
                     keys.append(
                         f"{t}:" + "".join("1" if b else "0" for b in s)
                     )
-            yield pd.DataFrame({"vec_id": out_ids, "bucket": keys})
+            out = {"vec_id": out_ids, "bucket": keys}
+            if carry_embedding:
+                out["embedding"] = [
+                    list(v) for v in np.repeat(Q, n_tables, axis=0)
+                ]
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        kernel, "vec_id long, bucket string"
-    )
+    schema = "vec_id long, bucket string"
+    if carry_embedding:
+        schema += ", embedding array<double>"
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
 
 
 def _pair_scorer(emb: DataFrame):
-    """Return a function scoring (id_a, id_b) candidate frames: two
-    equi-joins of the candidates against the embedding table (one per
-    side), then an Arrow-batched per-pair normalize+dot (ROUND 6 — the
-    float path _COSINE_SQL mirrors). Shared by lsh_topk and ivf_topk so
-    the oracle-critical float path exists in exactly one place.
+    """Return a function scoring an ARBITRARY (id_a, id_b) candidate
+    frame: two equi-joins of the candidates against the embedding
+    table (one per side), then an Arrow-batched per-pair normalize+dot
+    (ROUND 6 — the float path _COSINE_SQL mirrors).
 
-    Fully distributed: no vector data ever touches the driver — the
-    joins shuffle on vec_id (or broadcast the dimension Spark judges
-    small), so the plan scales with candidate volume, not corpus size.
-    Candidate ids absent from ``emb`` are dropped by the inner joins
-    rather than crashing the kernel.
+    This is the general scorer for externally-supplied pair lists
+    (e.g. MinHash doc-pair candidates re-scored in embedding space) —
+    fully distributed, nothing on the driver, candidate ids absent
+    from ``emb`` dropped by the inner joins. The ANN paths no longer
+    use it: joining the vector payload onto every pair row moved ~90
+    GB at the 100x probe (BENCH/sf10_probe_r03.json), so
+    lsh_topk/ivf_topk/lsh_near_dup/semantic_dedup score bucket-LOCALLY
+    (:func:`_bucket_local_pairs`) — reach for THIS only when the
+    candidate list does not come from a bucketing whose groups could
+    score themselves.
     """
     import numpy as np
 
@@ -284,26 +303,25 @@ def lsh_topk(
     (:func:`auto_lsh_bits` — one count job) so candidate volume stays
     ~linear in n; pass an explicit value to pin bucketing (the graded
     gate does, so its DuckDB oracle can replicate the planes).
+
+    Scoring is bucket-LOCAL (:func:`_bucket_local_pairs`): vectors
+    shuffle once per bucket membership (n_tables copies), per-bucket
+    matmul emits at most k candidates per (query, table) as 24-byte
+    rows, distinct() merges tables, one window picks the global top-k.
+    The former join+dot scorer moved the full vector payload once per
+    PAIR — measured ~100x more shuffle bytes at the 100x probe.
+    Bucket-local top-k provably preserves the global top-k because the
+    local order (cosine DESC, id_b ASC) equals the global rank order.
     """
     from pyspark.sql import Window
 
     if bits is None:
         bits = auto_lsh_bits(emb.count(), n_tables)
 
-    # self-join on bucket: both sides are the identical subtree shuffled
-    # on the same key, so ReuseExchange runs the bucketing kernel once
-    bucketed = lsh_bucket(emb, dim, n_tables, bits)
-    a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
-    b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
-    cand = (
-        a.join(b, "bucket")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # score with the shared distributed join+dot (one float path for
-    # every bucketed ANN variant — see _pair_scorer)
-    pairs = _pair_scorer(emb)(cand)
+    grouped = lsh_bucket(
+        emb, dim, n_tables, bits, carry_embedding=True
+    ).withColumn("side", F.lit("b"))
+    pairs = _bucket_local_pairs(grouped, k=k).distinct()
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -354,14 +372,15 @@ def lsh_near_dup(
     """Bucketed embedding-cosine near-duplicate pairs (id_a < id_b,
     cosine >= threshold) — the 100 TB dedup path.
 
-    Composition of the existing scale-safe parts: LSH candidate
-    generation (equi-join on bucket — shuffle tracks bucket occupancy,
-    not n²; AQE skew-split applies to hot buckets), pair dedup across
-    tables, then the shared distributed join+dot scorer
-    (:func:`_pair_scorer`) and a threshold filter. No vector data ever
-    touches the driver — unlike :func:`blas_near_dup`, the exact
-    single-node baseline this is recall-tested against, whose
-    full-matrix broadcast dies past ~10^7 vectors.
+    Composition of the scale-safe parts: LSH candidate generation
+    (bucket-keyed — cost tracks bucket occupancy, not n²), scoring
+    bucket-LOCAL with the threshold pushed into the kernel
+    (:func:`_bucket_local_pairs` — vectors shuffle once per bucket
+    membership, never per pair), pair dedup across tables on 24-byte
+    rows. No vector data ever touches the driver — unlike
+    :func:`blas_near_dup`, the exact single-node baseline this is
+    recall-tested against, whose full-matrix broadcast dies past
+    ~10^7 vectors.
 
     Approximate by construction: a qualifying pair hashed apart by
     every table is missed — recall 1-(1-p^bits)^n_tables where
@@ -370,16 +389,12 @@ def lsh_near_dup(
     """
     if bits is None:
         bits = auto_lsh_bits(emb.count(), n_tables)
-    bucketed = lsh_bucket(emb, dim, n_tables, bits)
-    a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
-    b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
-    cand = (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _pair_scorer(emb)(cand).where(F.col("cosine") >= threshold)
+    grouped = lsh_bucket(
+        emb, dim, n_tables, bits, carry_embedding=True
+    ).withColumn("side", F.lit("b"))
+    # threshold pushed INTO the bucket kernel: output is proportional
+    # to true near-dups, and vectors never ride a pair row
+    return _bucket_local_pairs(grouped, threshold=threshold).distinct()
 
 
 def cosine_near_dup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
@@ -538,11 +553,11 @@ def ivf_topk(
     """Approximate top-k via IVF: deterministic k-means buckets, each
     query probes its ``nprobe`` nearest clusters, brute force only
     within probed buckets. Candidate GENERATION is fully distributed
-    (equi-keyed on cluster id, AQE skew-split applies; only the k x dim
-    centroid matrix touches the driver) and beats LSH when bucket
-    occupancy should track data density. Candidate SCORING shares the
-    distributed join+dot with lsh_topk (_pair_scorer) — no vector data
-    on the driver anywhere in the plan.
+    (only the k x dim centroid matrix touches the driver) and beats
+    LSH when bucket occupancy should track data density. Candidate
+    SCORING is cluster-local (:func:`_bucket_local_pairs`) — no vector
+    data on the driver anywhere in the plan, and no vector ever rides
+    a pair row.
 
     ``n_clusters=None`` auto-sizes to ~sqrt(n) (the classic IVF nlist
     rule): occupancy and probe cost both scale as sqrt(n) — total
@@ -574,23 +589,30 @@ def ivf_topk(
                 [list(map(int, row[:nprobe])) for row in rank(Q)]
             )
 
-    buckets = emb.select(
-        "vec_id", _home(F.col("embedding")).alias("cluster")
+    # bucket-local scoring (_bucket_local_pairs): members land in their
+    # home cluster once, queries fan out to their nprobe clusters, the
+    # per-cluster matmul emits <= k rows per (query, cluster) — vectors
+    # shuffle (1 + nprobe) x n times total instead of once per PAIR
+    # (the join+dot scorer measured ~90 GB of vector payload and 172x
+    # wall at the 100x probe; see BENCH/sf10_probe_r03.json)
+    e2 = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    probes = emb.select(
-        "vec_id", F.explode(_probes(F.col("embedding"))).alias("cluster")
+    members = e2.select(
+        _home(F.col("embedding")).alias("bucket"),
+        F.lit("m").alias("side"),
+        "vec_id",
+        "embedding",
     )
-    cand = (
-        probes.alias("a")
-        .join(buckets.alias("b"), "cluster")
-        .where(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
+    queries = e2.select(
+        F.explode(_probes(F.col("embedding"))).alias("bucket"),
+        F.lit("q").alias("side"),
+        "vec_id",
+        "embedding",
     )
-
-    pairs = _pair_scorer(emb)(cand)
+    pairs = _bucket_local_pairs(
+        members.unionByName(queries), k=k
+    ).distinct()
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -629,9 +651,10 @@ def semantic_dedup(
     n/target rule, so pair volume is ≈ n × cluster_target — linear in
     the corpus with the quadratic confined inside each cluster (the
     published method's own trick). Assignment is the Arrow-batched
-    home kernel, pair scoring the shared distributed join+dot
-    (:func:`_pair_scorer` — no vector data on the driver), components
-    the checkpoint-hygienic label propagation used for entity
+    home kernel, pair scoring cluster-LOCAL with the threshold inside
+    the kernel (:func:`_bucket_local_pairs` — no vector data on the
+    driver, no vector on any pair row), components the
+    checkpoint-hygienic label propagation used for entity
     canonicalization. Cross-cluster near-dups are out of candidate
     scope by design; the oracle replicates the same candidate set, so
     the gate is exact over the operator's own contract.
@@ -641,25 +664,114 @@ def semantic_dedup(
     if n_clusters is None:
         n_clusters = auto_semdedup_nlist(emb.count(), cluster_target)
     C = ivf_train(emb, n_clusters, n_iter)
-    homes = emb.select(
+    # cluster-local scoring: each vector lands in its ONE home cluster
+    # (so no cross-bucket pair dedup is even possible), the threshold
+    # runs inside the kernel, and pair rows never carry vectors
+    e2 = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    grouped = e2.select(
+        _home_udf(ivf_assign_kernel(C))(F.col("embedding")).alias("bucket"),
+        F.lit("b").alias("side"),
         "vec_id",
-        _home_udf(ivf_assign_kernel(C))(F.col("embedding")).alias("_c"),
+        "embedding",
     )
-    a = homes.select("_c", F.col("vec_id").alias("id_a"))
-    b = homes.select("_c", F.col("vec_id").alias("id_b"))
-    cand = (
-        a.join(b, "_c")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    dup = (
-        _pair_scorer(emb)(cand)
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
+    dup = _bucket_local_pairs(grouped, threshold=threshold).select(
+        "id_a", "id_b"
     )
     nodes = emb.select(F.col("vec_id").alias("entity_id"))
     labels = connected_components(nodes, dup)
     return labels.select(
         F.col("entity_id").alias("vec_id"),
         F.col("canonical_id").alias("keep_vec_id"),
+    )
+
+
+def _bucket_local_pairs(
+    grouped: DataFrame,
+    k: int | None = None,
+    threshold: float | None = None,
+):
+    """Score candidates INSIDE each bucket group instead of joining
+    vectors onto a pair list — the shuffle-shape fix the 100x probe
+    demanded (BENCH/sf10_probe_r03.json: the join+dot scorer moved
+    ~90 GB of vector payload for 89M IVF pairs at 200k vectors, 172x
+    wall at 100x data; here vectors shuffle ONCE per bucket membership
+    and pairs travel as 24-byte rows).
+
+    ``grouped``: (bucket, side, vec_id, embedding) — side 'm' marks
+    bucket members (search targets), 'q' marks queries probing the
+    bucket; symmetric workloads (LSH self-buckets) tag every row 'b'
+    (both). Exactly one of:
+      k         — per-(query, bucket) top-k, ordered (cosine DESC,
+                  id_b ASC) — the same order as the global rank, so
+                  bucket-local pruning provably preserves the global
+                  top-k (any global winner from bucket B is inside B's
+                  local top-k under the identical order);
+      threshold — all pairs id_a < id_b with cosine >= threshold.
+
+    Float path = blas_topk's exactly (numpy row-normalize, matmul,
+    ROUND 6) — the path the DuckDB oracles already hash-match.
+    Queries are scored in chunks of 1024 so kernel memory is
+    chunk x occupancy, never queries x occupancy. Same pair met in
+    several buckets yields the IDENTICAL row (deterministic float per
+    pair) — caller dedups with distinct() on 24-byte rows.
+
+    Caveat vs the join scorer: a pathological mega-bucket is ONE task
+    (applyInPandas groups don't AQE-split) — the auto-sizing rules
+    bound LSH occupancy by construction; for IVF a hot cluster is
+    data-driven, which is why occupancy stays ~sqrt(n) there.
+    """
+    import numpy as np
+
+    if (k is None) == (threshold is None):
+        raise ValueError("exactly one of k / threshold")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        m = pdf[pdf["side"] != "q"]
+        q = pdf[pdf["side"] != "m"]
+        if len(m) == 0 or len(q) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        M = np.array(list(m["embedding"]), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        mids = m["vec_id"].to_numpy()
+        qids = q["vec_id"].to_numpy()
+        CH = 1024
+        for lo in range(0, len(q), CH):
+            qc = q.iloc[lo : lo + CH]
+            Q = np.array(list(qc["embedding"]), dtype=np.float64)
+            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Q @ M.T, 6)
+            ids_c = qids[lo : lo + CH]
+            if threshold is not None:
+                # unordered pairs: keep id_a < id_b (also drops self)
+                keep = (S >= threshold) & (ids_c[:, None] < mids[None, :])
+                r, c = np.nonzero(keep)
+                out_a.append(ids_c[r])
+                out_b.append(mids[c])
+                out_c.append(S[r, c])
+            else:
+                for r in range(len(ids_c)):
+                    row = S[r].copy()
+                    row[mids == ids_c[r]] = -np.inf  # exclude self
+                    order = np.lexsort((mids, -row))[:k]
+                    order = order[row[order] > -np.inf]
+                    out_a.append(np.full(len(order), ids_c[r]))
+                    out_b.append(mids[order])
+                    out_c.append(row[order])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return grouped.groupBy("bucket").applyInPandas(
+        fn, "id_a long, id_b long, cosine double"
     )

@@ -159,11 +159,13 @@ def test_range_join_stays_equi_keyed(spark):
 
 
 def test_lsh_topk_scorer_is_distributed(spark):
-    """ANN candidate scoring must be a join against the embedding
-    table, not a driver collect: constructing the lsh_topk DataFrame
-    runs ZERO Spark jobs (the old broadcast scorer collected the full
-    matrix at construction time), and the plan carries the two
-    candidate-side equi-joins with no cross product."""
+    """ANN scoring must be bucket-LOCAL and lazy: constructing the
+    lsh_topk DataFrame runs ZERO Spark jobs (the round-1 broadcast
+    scorer collected the full matrix at construction time), the plan
+    has NO joins at all (vectors shuffle once per bucket membership
+    into a FlatMapGroupsInPandas — never once per pair; the 100x probe
+    measured the pair-join scorer at ~90 GB of vector shuffle), and no
+    cross product anywhere."""
     from btd.dataops.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
@@ -182,13 +184,8 @@ def test_lsh_topk_scorer_is_distributed(spark):
     assert tracker.getJobIdsForGroup("lsh_lazy_probe") == []
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
-    # candidates joined back to vectors: >= 3 joins (bucket self-join
-    # + id_a side + id_b side)
-    joins = sum(
-        plan.count(j)
-        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-    )
-    assert joins >= 3, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_prefix_filter_jaccard_has_no_cross_product(spark):
@@ -204,7 +201,8 @@ def test_prefix_filter_jaccard_has_no_cross_product(spark):
 def test_lsh_near_dup_scorer_is_distributed(spark):
     """The gated near-dup scale path must share lsh_topk's plan shape:
     zero jobs at construction (no full-matrix collect anywhere), no
-    cross product, and the bucket self-join + two scoring joins."""
+    cross product, bucket-local scoring (FlatMapGroupsInPandas), and
+    NO joins — the threshold runs inside the bucket kernel."""
     from btd.dataops.similarity import lsh_near_dup
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
@@ -220,11 +218,8 @@ def test_lsh_near_dup_scorer_is_distributed(spark):
     assert sc.statusTracker().getJobIdsForGroup("near_dup_lazy_probe") == []
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
-    joins = sum(
-        plan.count(j)
-        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-    )
-    assert joins >= 3, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_mix_sources_broadcasts_manifest(spark):

@@ -81,3 +81,18 @@ def test_lsh_near_dup_finds_all_planted_duplicates(spark, emb):
         (F.col("id_b") - F.col("id_a")) == 1_000_000
     )
     assert got.count() == n_copies > 0
+
+
+def test_pair_scorer_matches_bucket_local_cosines(spark, emb):
+    """_pair_scorer (the general external-candidate scorer) must emit
+    the identical ROUND(,6) cosine as the bucket-local kernel for the
+    same pairs — one float contract across both scoring backends."""
+    import pyspark.sql.functions as F
+
+    from btd.dataops.similarity import _pair_scorer, lsh_near_dup
+
+    bucket_pairs = lsh_near_dup(emb, dim=64, threshold=0.3, bits=4)
+    rescored = _pair_scorer(emb)(bucket_pairs.select("id_a", "id_b"))
+    a = {(r.id_a, r.id_b): r.cosine for r in bucket_pairs.collect()}
+    b = {(r.id_a, r.id_b): r.cosine for r in rescored.collect()}
+    assert a and a == b
