@@ -36,6 +36,8 @@ QUERIES = [
     "doc_lm_score",
     "emb_lsh_topk",
     "emb_ivf_topk",
+    "emb_cosine_near_dup",
+    "emb_semantic_dedup",
     "kg_extract_triples",
     "kg_copurchase",
     "ev_sessionize",
