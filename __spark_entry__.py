@@ -927,17 +927,76 @@ def _q_kg_khop(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {
+    """Query registry. ORDER MATTERS: the driver's correctness gate grades the
+    FIRST 50 entries in insertion order, so slots 1-50 are reserved for queries
+    that need a fresh hard-signal row (never graded, or code rewritten since
+    their last green row). Round 4 rotation: slots 1-36 are the 36 queries with
+    no CORRECTNESS_r03 row (the rewritten bucket-local emb_* ANN/dedup block
+    first); slots 37-50 re-grade queries touched or regressed in r03. The
+    permanently-stable ref_*/stream_*/ev_* greens rotate to the tail — their
+    code is untouched and tests/test_oracle_parity.py still covers all 86."""
+    head = {
+        # --- rewritten in r3 (bucket-local scoring, similarity.py) — top priority
+        "emb_lsh_topk": None,
+        "emb_ivf_topk": None,
+        "emb_cosine_near_dup": None,
+        "emb_semantic_dedup": None,
+        "emb_cluster_sample": None,
+        "emb_cosine_near_dup_exact": None,
+        "emb_brute_force_topk": None,
+        # --- never driver-graded
+        "doc_tfidf": None,
+        "doc_lm_score": None,
+        "doc_postings": _q_doc_postings,
+        "doc_repetition": None,
+        "doc_resize": None,
+        "doc_scrub_pii": None,
+        "doc_stratified_sample": None,
+        "doc_mix": None,
+        "ev_moving_avg": _q_ev_moving_avg,
+        "ev_hopping": _q_ev_hopping,
+        "ev_profile": _q_ev_profile,
+        "kg_fk_check": _q_kg_fk_check,
+        "kg_upsert": _q_kg_upsert,
+        # --- r01/r02-stale dataops block (no r03 row)
+        "doc_exact_dedup": None,
+        "doc_minhash_near_dup": None,
+        "doc_simhash_near_dup": None,
+        "doc_ngram_jaccard": None,
+        "doc_dedup_groups": None,
+        "doc_token_stats": None,
+        "doc_quality_scores": None,
+        "doc_language_id": None,
+        "doc_fingerprints": None,
+        "doc_curation": None,
+        "doc_sample": None,
+        "doc_media_features": None,
+        "doc_frame_sample": None,
+        "doc_decontaminate": None,
+        "doc_chunk": None,
+        "kg_pagerank": None,
+        # --- slots 37-50: re-grade (r03 perf watch items / code touched in r4)
+        "kg_entities": _q_kg_entities,
+        "kg_same_as": _q_kg_same_as,
+        "kg_components": _q_kg_components,
+        "kg_components_star": _q_kg_components_star,
+        "ev_funnel": _q_ev_funnel,
+        "ev_asof_join": _q_ev_asof_join,
+        "ev_range_count": _q_ev_range_count,
+        "kg_khop": _q_kg_khop,
+        "kg_triangles": _q_kg_triangles,
+        "kg_copurchase": _q_kg_copurchase,
+        "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
+        "kg_adamic_adar": _q_kg_adamic_adar,
+        "kg_eval_pr": _q_kg_eval_pr,
+        "ref_parse_roundtrip": _q_parse_roundtrip,
+    }
+    tail = {
         "kg_turn_order": _q_kg_turn_order,
         "kg_extract_triples": _q_kg_extract,
         "kg_extract_windowed": _q_kg_extract_windowed,
         "kg_mentions": _q_kg_mentions,
-        "kg_components": _q_kg_components,
-        "kg_components_star": _q_kg_components_star,
-        "kg_same_as": _q_kg_same_as,
-        "kg_entities": _q_kg_entities,
         "kg_outdegree_histogram": _q_kg_outdegree_hist,
-        "kg_khop": _q_kg_khop,
         "ref_distinct_subjects": _q_distinct,
         "ref_distinct_spo_counts": _q_distinct_spo,
         "ref_outdegree_histogram": _q_outdegree_hist,
@@ -951,7 +1010,6 @@ def queries() -> dict[str, QueryFn]:
         "ref_top_contexts": _q_top_contexts,
         "ref_dedup": _q_dedup,
         "ref_percentages_compat": _q_percentages_compat,
-        "ref_parse_roundtrip": _q_parse_roundtrip,
         "ref_parse_metrics": _q_parse_metrics,
         "ref_text_sink_roundtrip": _q_text_sink_roundtrip,
         "ref_gzip_sink_roundtrip": _q_gzip_sink_roundtrip,
@@ -963,8 +1021,6 @@ def queries() -> dict[str, QueryFn]:
         "stream_dedup": _q_stream_dedup,
         "stream_enrich": _q_stream_enrich,
         "stream_join": _q_stream_join,
-        "ev_asof_join": _q_ev_asof_join,
-        "ev_range_count": _q_ev_range_count,
         "ev_sessionize": _q_ev_sessionize,
         "ev_rollup": _q_ev_rollup,
         "ev_quantiles": _q_ev_quantiles,
@@ -972,20 +1028,21 @@ def queries() -> dict[str, QueryFn]:
         "ev_pivot": _q_ev_pivot,
         "ev_json_extract": _q_ev_json_extract,
         "ev_retention": _q_ev_retention,
-        "ev_funnel": _q_ev_funnel,
-        "kg_copurchase": _q_kg_copurchase,
-        "kg_triangles": _q_kg_triangles,
-        "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
-        "kg_adamic_adar": _q_kg_adamic_adar,
-        "kg_eval_pr": _q_kg_eval_pr,
-        "kg_upsert": _q_kg_upsert,
-        "doc_postings": _q_doc_postings,
-        "ev_moving_avg": _q_ev_moving_avg,
-        "ev_hopping": _q_ev_hopping,
-        "ev_profile": _q_ev_profile,
-        "kg_fk_check": _q_kg_fk_check,
-        **queries_dataops(),
     }
+    dataops = queries_dataops()
+    out: dict[str, QueryFn] = {}
+    for name, fn in head.items():
+        out[name] = dataops[name] if fn is None else fn
+    for name, fn in dataops.items():
+        if name not in out:
+            out[name] = fn
+    for name, fn in tail.items():
+        if name not in out:
+            out[name] = fn
+    assert len(out) == len(head) + len(tail) + sum(
+        1 for n in dataops if n not in head and n not in tail
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
