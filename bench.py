@@ -207,37 +207,59 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, don't die
             out["scale_probe"] = {"error": f"{type(exc).__name__}: {exc}"}
 
-    # Full record (probe per-query timings, notes) → file; stdout ends
-    # with ONE compact line that fits the driver's 2000-char stdout-tail
-    # capture (round 2 lost its own total to tail truncation: the full
-    # ~4 KB JSON line started before the tail window opened).
+    # Full record (probe per-query timings, notes) → an IMMUTABLE
+    # per-configuration file: rounds 2+3 proved that (a) one shared
+    # last_run.json gets clobbered by later runs at another sf, and
+    # (b) the driver captures only the LAST 2000 chars of stdout, so an
+    # 86-query JSON line (~2.8 KB) can never parse from the tail. The
+    # final stdout line is therefore built to a hard 1900-char budget:
+    # keep the SLOWEST queries (the headline numbers) and drop the
+    # cheapest until it fits, recording how many were omitted and where
+    # the complete record lives.
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH", "last_run.json"), "w") as f:
+    sf_tag = str(sf).replace(".", "p") if sf >= 0 else "unknown"
+    rec_name = f"run_sf{sf_tag}_c{cores}.json"
+    with open(os.path.join(repo, "BENCH", rec_name), "w") as f:
         json.dump(out, f, indent=1)
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": out["unit"],
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": out["sf"],
-        "cores": out["cores"],
-        "extraction_triples_per_sec": out["extraction_triples_per_sec"],
-        "host_calib": calib,
-        "full_record": "BENCH/last_run.json",
-    }
-    sp = out.get("scale_probe")
-    if isinstance(sp, dict) and "value" in sp:
-        compact["scale_probe"] = {
-            "sf": sp["sf"],
-            "value": sp["value"],
-            "n_queries": len(sp["queries"]),
+
+    def render(n_keep: int) -> str:
+        slowest = dict(
+            sorted(
+                sorted(timings.items(), key=lambda kv: -kv[1])[:n_keep]
+            )
+        )
+        compact = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": out["unit"],
+            "queries": {k: round(v, 2) for k, v in slowest.items()},
+            "sf": out["sf"],
+            "cores": out["cores"],
+            "n_queries": len(timings),
+            "queries_omitted": len(timings) - len(slowest),
+            "extraction_triples_per_sec": out[
+                "extraction_triples_per_sec"
+            ],
+            "host_calib": calib,
+            "full_record": f"BENCH/{rec_name}",
         }
-    elif isinstance(sp, dict):
-        compact["scale_probe"] = {"error": str(sp.get("error"))[:80]}
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) >= 1950:  # stay inside the tail window, never die here
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(compact, separators=(",", ":"))
+        sp = out.get("scale_probe")
+        if isinstance(sp, dict) and "value" in sp:
+            compact["scale_probe"] = {
+                "sf": sp["sf"],
+                "value": sp["value"],
+                "n_queries": len(sp["queries"]),
+            }
+        elif isinstance(sp, dict):
+            compact["scale_probe"] = {"error": str(sp.get("error"))[:80]}
+        return json.dumps(compact, separators=(",", ":"))
+
+    n_keep = len(timings)
+    line = render(n_keep)
+    while len(line) > 1900 and n_keep > 5:
+        # each dropped entry frees ~25 chars; step proportionally
+        n_keep -= max(1, (len(line) - 1900) // 25)
+        line = render(max(n_keep, 5))
     print(line, flush=True)
     spark.stop()
 
