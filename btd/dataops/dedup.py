@@ -348,7 +348,7 @@ def auto_band_size(
     to the SIMILARITY target instead of the corpus size: a 0.9 exact-
     dup sweep wants narrow bands caught late (fewer false candidates);
     a 0.5 fuzzy sweep wants wide early-collision bands. At NUM_HASHES=8
-    the midpoints are r=1→0.125, r=2→0.5, r=4→0.707, r=8→1.0; the
+    the midpoints are r=1→0.125, r=2→0.5, r=4→0.841, r=8→1.0; the
     default (r=2, t≈0.5) is what the graded gate pins, so this helper
     changes nothing unless callers opt in.
     """

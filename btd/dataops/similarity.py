@@ -293,11 +293,12 @@ def lsh_topk(
     bits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: brute force WITHIN each LSH bucket, unioned
-    over tables. The self-join is equi-keyed on bucket — at 100 TB this
-    is the difference between an O(n²) cross join and a hash join whose
-    cost tracks bucket sizes (AQE skew-split applies to hot buckets).
-    Candidate pairs are deduplicated across tables BEFORE the cosine so
-    each pair is scored once.
+    over tables. Candidates are generated per bucket — at 100 TB this
+    is the difference between an O(n²) cross join and per-bucket work
+    whose cost tracks bucket sizes (auto_lsh_bits bounds expected
+    occupancy; a data-driven hot bucket is salted into shards by
+    :func:`_bucket_local_pairs`). Candidate pairs are deduplicated
+    across tables BEFORE the rank so each pair is scored once.
 
     ``bits=None`` auto-sizes the signature to the corpus
     (:func:`auto_lsh_bits` — one count job) so candidate volume stays
@@ -522,9 +523,12 @@ def cluster_sample(
     ivf_topk (only k×dim centroids on the driver), an Arrow-batched
     home assignment, then ONE window shuffle keyed by cluster. vec_id
     order inside the cluster makes the kept set rerun-stable (swap in a
-    quality score for quality-aware keeps). AQE skew-split covers a
-    megacluster; nlist ≈ sqrt(n) keeps per-cluster window state
-    bounded.
+    quality score for quality-aware keeps). A hot cluster is still ONE
+    window partition (AQE skew handling applies to joins, not window
+    exchanges) — the real mitigations are the nlist ≈ sqrt(n) expected
+    occupancy bound and Spark 4's WindowGroupLimit, which prunes each
+    partition to its top ``per_cluster`` rows map-side before the
+    exchange, so the straggler reads, at worst, its share of the scan.
     """
     if n_clusters is None:
         n_clusters = auto_nlist(emb.count())
@@ -549,6 +553,7 @@ def ivf_topk(
     n_clusters: int | None = None,
     n_iter: int = 3,
     nprobe: int | None = None,
+    shard_cap: int = 8192,
 ) -> DataFrame:
     """Approximate top-k via IVF: deterministic k-means buckets, each
     query probes its ``nprobe`` nearest clusters, brute force only
@@ -611,7 +616,7 @@ def ivf_topk(
         "embedding",
     )
     pairs = _bucket_local_pairs(
-        members.unionByName(queries), k=k
+        members.unionByName(queries), k=k, shard_cap=shard_cap
     ).distinct()
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
@@ -636,6 +641,7 @@ def semantic_dedup(
     n_clusters: int | None = None,
     n_iter: int = 3,
     cluster_target: int = 200,
+    shard_cap: int = 8192,
 ) -> DataFrame:
     """(vec_id, keep_vec_id): SemDeDup-style semantic deduplication —
     cluster the embedding space with the deterministic IVF codebook,
@@ -676,9 +682,9 @@ def semantic_dedup(
         "vec_id",
         "embedding",
     )
-    dup = _bucket_local_pairs(grouped, threshold=threshold).select(
-        "id_a", "id_b"
-    )
+    dup = _bucket_local_pairs(
+        grouped, threshold=threshold, shard_cap=shard_cap
+    ).select("id_a", "id_b")
     nodes = emb.select(F.col("vec_id").alias("entity_id"))
     labels = connected_components(nodes, dup)
     return labels.select(
@@ -691,6 +697,7 @@ def _bucket_local_pairs(
     grouped: DataFrame,
     k: int | None = None,
     threshold: float | None = None,
+    shard_cap: int = 8192,
 ):
     """Score candidates INSIDE each bucket group instead of joining
     vectors onto a pair list — the shuffle-shape fix the 100x probe
@@ -717,15 +724,66 @@ def _bucket_local_pairs(
     several buckets yields the IDENTICAL row (deterministic float per
     pair) — caller dedups with distinct() on 24-byte rows.
 
-    Caveat vs the join scorer: a pathological mega-bucket is ONE task
-    (applyInPandas groups don't AQE-split) — the auto-sizing rules
-    bound LSH occupancy by construction; for IVF a hot cluster is
-    data-driven, which is why occupancy stays ~sqrt(n) there.
+    MEGABUCKET SHARDING (``shard_cap``): applyInPandas groups don't
+    AQE-split, so a data-driven hot bucket (the all-near-duplicate
+    corpus — dedup's common case — puts ~everything in ONE IVF
+    cluster) would otherwise run as a single straggler task doing
+    O(occupancy^2) work. Any bucket whose MEMBER occupancy exceeds
+    ``shard_cap`` is salted: members hash into ceil(occ/cap) shards,
+    queries replicate to every shard (the same discipline
+    btd.skew.salted_self_join applies to band joins). Every
+    (query, member) pair of the bucket is still scored exactly once —
+    the member lives in exactly one shard and the query visits all —
+    so threshold mode is unchanged and k mode emits per-(query, shard)
+    top-k, a SUPERSET of the per-bucket top-k that the callers' global
+    rank window already reduces. Work parallelizes from one
+    occ x occ task into occ/cap tasks of occ x cap. Buckets at or
+    under the cap pass through untouched (no row duplication on the
+    common path). Occupancy comes from a partial-agg count broadcast
+    back onto the stream — no extra wide exchange of the vectors.
     """
     import numpy as np
+    from pyspark.sql.functions import broadcast
 
     if (k is None) == (threshold is None):
         raise ValueError("exactly one of k / threshold")
+
+    occ = (
+        grouped.where(F.col("side") != "q")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n_m"))
+        .where(F.col("_n_m") > shard_cap)
+        .select(
+            "bucket",
+            F.ceil(F.col("_n_m") / shard_cap).cast("int").alias("_n_sh"),
+        )
+    )
+    g = grouped.join(broadcast(occ), "bucket", "left").withColumn(
+        "_n_sh", F.coalesce(F.col("_n_sh"), F.lit(1))
+    )
+    passthrough = g.where(F.col("_n_sh") == 1).select(
+        "bucket", F.lit(0).alias("_sh"), "side", "vec_id", "embedding"
+    )
+    big = g.where(F.col("_n_sh") > 1)
+    big_members = big.where(F.col("side") != "q").select(
+        "bucket",
+        F.pmod(F.xxhash64("vec_id"), F.col("_n_sh")).cast("int").alias("_sh"),
+        F.lit("m").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    big_queries = big.where(F.col("side") != "m").select(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("int"), (F.col("_n_sh") - F.lit(1)).cast("int")
+            )
+        ).alias("_sh"),
+        F.lit("q").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    grouped = passthrough.unionByName(big_members).unionByName(big_queries)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
@@ -772,6 +830,6 @@ def _bucket_local_pairs(
             }
         )
 
-    return grouped.groupBy("bucket").applyInPandas(
+    return grouped.groupBy("bucket", "_sh").applyInPandas(
         fn, "id_a long, id_b long, cosine double"
     )

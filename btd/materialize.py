@@ -133,25 +133,38 @@ def upsert(
     no join, and Spark 4 prunes it map-side (WindowGroupLimit) so only
     candidate winners travel the wire. If ``updates`` carries
     duplicate keys itself that's caller ambiguity — tie-broken
-    deterministically by the full remaining column tuple (documented,
-    asserted in tests) rather than silently picking an arbitrary row.
+    deterministically by the remaining ORDERABLE columns (map columns
+    are excluded from the tiebreak: ORDER BY on a map raises, and so
+    does hashing one without a legacy flag — rows identical in every
+    orderable column but differing in a map tie arbitrarily, the one
+    documented hole). Helper columns are name-collision-checked
+    against the input schema.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import MapType
 
     cols = existing.columns
     if set(cols) != set(updates.columns):
         raise ValueError(
             f"schema mismatch: {cols} vs {updates.columns}"
         )
+    pri, rk = "_pri", "_rk"
+    while pri in cols or rk in cols:
+        pri, rk = pri + "_", rk + "_"
     tagged = updates.select(*cols).withColumn(
-        "_pri", F.lit(0)
-    ).unionByName(existing.select(*cols).withColumn("_pri", F.lit(1)))
-    rest = [c for c in cols if c not in keys]
-    w = Window.partitionBy(*keys).orderBy(
-        "_pri", *[F.col(c) for c in rest]
-    )
+        pri, F.lit(0)
+    ).unionByName(existing.select(*cols).withColumn(pri, F.lit(1)))
+    unorderable = {
+        f.name
+        for f in existing.schema.fields
+        if isinstance(f.dataType, MapType)
+    }
+    rest = [
+        F.col(c) for c in cols if c not in keys and c not in unorderable
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(pri), *rest)
     return (
-        tagged.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
+        tagged.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) == 1)
         .select(*cols)
     )

@@ -228,9 +228,18 @@ def funnel(
     user's own event timestamps for the named steps — bounded by
     per-user activity, the same envelope sessionization carries; the
     final counts are a tiny global rollup.
+
+    ``steps`` must be distinct: stages anchor with ``t >= anchor``, so
+    a repeated step name would let the SAME event satisfy both its
+    stages and silently overcount — rejected up front instead.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            "funnel steps must be distinct (a repeated step would be "
+            f"satisfied by the same event twice): {steps}"
+        )
     aggs = [
         F.sort_array(
             F.collect_list(

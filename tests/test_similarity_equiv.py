@@ -96,3 +96,110 @@ def test_pair_scorer_matches_bucket_local_cosines(spark, emb):
     a = {(r.id_a, r.id_b): r.cosine for r in bucket_pairs.collect()}
     b = {(r.id_a, r.id_b): r.cosine for r in rescored.collect()}
     assert a and a == b
+
+
+@pytest.fixture(scope="module")
+def megacluster(spark):
+    """The adversarial dedup corpus: every vector is a near-duplicate
+    of one direction, so IVF/SemDeDup assignment puts ~all of them in
+    ONE cluster — the case where an unsharded bucket-local kernel
+    degrades to a single O(n^2) straggler task."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    base /= np.linalg.norm(base)
+    rows = [
+        (i, [float(x) for x in (base + 0.01 * rng.randn(16))])
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    df.persist()
+    df.count()
+    return df
+
+
+def _one_bucket(megacluster):
+    return megacluster.select(
+        F.lit(0).alias("bucket"),
+        F.lit("b").alias("side"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+
+
+def test_megabucket_sharding_threshold_mode_equivalent(spark, megacluster):
+    """Sharded (cap << occupancy) and unsharded bucket-local scoring
+    must emit the identical pair set with identical ROUND(,6) cosines:
+    members hash into one shard each, queries visit every shard, so
+    each (query, member) pair is scored exactly once either way."""
+    from btd.dataops.similarity import _bucket_local_pairs
+
+    g = _one_bucket(megacluster)
+    un = {
+        tuple(r)
+        for r in _bucket_local_pairs(g, threshold=0.95, shard_cap=10**9)
+        .distinct()
+        .collect()
+    }
+    sh = {
+        tuple(r)
+        for r in _bucket_local_pairs(g, threshold=0.95, shard_cap=300)
+        .distinct()
+        .collect()
+    }
+    assert un and un == sh
+
+
+def test_megabucket_sharding_topk_mode_equivalent(spark, megacluster):
+    """k mode emits per-(query, shard) top-k — a superset of the
+    per-bucket top-k — so after the callers' global rank window the
+    final top-k must be identical to the unsharded run."""
+    from pyspark.sql import Window
+
+    from btd.dataops.similarity import _bucket_local_pairs
+
+    def final_topk(shard_cap):
+        w = Window.partitionBy("id_a").orderBy(
+            F.desc("cosine"), F.asc("id_b")
+        )
+        return {
+            tuple(r)
+            for r in _bucket_local_pairs(
+                _one_bucket(megacluster), k=5, shard_cap=shard_cap
+            )
+            .distinct()
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("id_a", "id_b", "cosine", "rank")
+            .collect()
+        }
+
+    un = final_topk(10**9)
+    sh = final_topk(300)
+    assert len(un) == 2000 * 5
+    assert un == sh
+
+
+def test_megabucket_sharding_splits_into_many_tasks(spark, megacluster):
+    """The point of the fix: the kernel stage must fan the megacluster
+    out across shards (ceil(2000/300) = 7 groups) instead of one task.
+    Assert the plan reparations on (bucket, _sh) and the output is
+    produced from > 1 non-empty shard group."""
+    from btd.dataops.similarity import _bucket_local_pairs
+
+    g = _one_bucket(megacluster)
+    pairs = _bucket_local_pairs(g, threshold=0.99, shard_cap=300)
+    # shard id participates in the group key => FlatMapGroupsInPandas
+    # keyed on bucket AND _sh
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_sh" in plan
+    # semantic_dedup end-to-end on the same corpus: sharded run keeps
+    # the exact keeper semantics (everything collapses to vec_id 0)
+    from btd.dataops.similarity import semantic_dedup
+
+    out = semantic_dedup(megacluster, threshold=0.95, n_clusters=1)
+    keepers = {r.keep_vec_id for r in out.collect()}
+    assert keepers == {0}

@@ -279,3 +279,42 @@ def test_upsert_merge_semantics(spark):
 
     with _pt.raises(ValueError):
         upsert(ex, up.drop("payload"), ["k"])
+
+
+def test_funnel_rejects_repeated_steps(spark):
+    """A repeated step name would be satisfied by the SAME event twice
+    (anchoring uses t >= anchor) — rejected up front instead of
+    silently overcounting."""
+    import pytest as _pt
+
+    from btd.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [("u", "view", "2024-01-01 00:00:00")],
+        "user_id string, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pt.raises(ValueError, match="distinct"):
+        funnel(ev, ["view", "view"])
+
+
+def test_upsert_map_column_and_helper_name_collision(spark):
+    """Unorderable (map) columns must not enter the tiebreak ORDER BY
+    (AnalysisException otherwise), and user columns named _pri/_rk
+    must not collide with the helper columns."""
+    from btd.materialize import upsert
+
+    ex = spark.createDataFrame(
+        [("a", {"x": 1}, "old", 7), ("b", {"y": 2}, "keep", 8)],
+        "k string, props map<string,int>, payload string, _pri long",
+    )
+    up = spark.createDataFrame(
+        [("a", {"x": 9}, "new", 7), ("c", {"z": 3}, "ins", 9)],
+        "k string, props map<string,int>, payload string, _pri long",
+    )
+    got = {r.k: (r.payload, dict(r.props)) for r in
+           upsert(ex, up, ["k"]).collect()}
+    assert got == {
+        "a": ("new", {"x": 9}),
+        "b": ("keep", {"y": 2}),
+        "c": ("ins", {"z": 3}),
+    }
