@@ -203,3 +203,58 @@ def test_megabucket_sharding_splits_into_many_tasks(spark, megacluster):
     out = semantic_dedup(megacluster, threshold=0.95, n_clusters=1)
     keepers = {r.keep_vec_id for r in out.collect()}
     assert keepers == {0}
+
+
+def test_semantic_dedup_recall_vs_exact_baseline(spark):
+    """Quantify SemDeDup's known trade (cross-cluster near-dup pairs
+    are out of candidate scope by design) the way lsh_near_dup has
+    recall floors: on a 1,620-vector corpus of 10 loose gaussian
+    clusters with 120 planted near-dup twins, compare the operator's
+    grouping against the exact blas_near_dup pair set at the same
+    threshold. Measured: overall pair recall 0.9962 (133 of 34,985
+    exact pairs straddle a k-means boundary and are unseen — the
+    published method's documented cost) and 120/120 planted twins
+    recovered (real duplicates co-cluster). Deterministic end-to-end
+    (fixed rng seed, seedless Lloyd), so the floors are tight."""
+    import numpy as np
+
+    from btd.dataops.similarity import blas_near_dup, semantic_dedup
+
+    rng = np.random.RandomState(42)
+    dim = 16
+    centers = rng.randn(10, dim) * 3
+    rows: list = []
+    vid = 0
+    for c in range(10):
+        for _ in range(150):
+            rows.append(
+                (vid, [float(x) for x in centers[c] + rng.randn(dim)])
+            )
+            vid += 1
+    base_ids = rng.choice(vid, 120, replace=False)
+    base_map = {r[0]: np.array(r[1]) for r in rows}
+    twins = []
+    for b in base_ids:
+        v = base_map[int(b)]
+        t = v + 0.08 * np.linalg.norm(v) / np.sqrt(dim) * rng.randn(dim)
+        rows.append((vid, [float(x) for x in t]))
+        twins.append((int(b), vid))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    emb.persist()
+    emb.count()
+
+    exact = {(r.id_a, r.id_b) for r in blas_near_dup(emb, 0.92).collect()}
+    comp = {
+        r.vec_id: r.keep_vec_id
+        for r in semantic_dedup(
+            emb, threshold=0.92, cluster_target=200
+        ).collect()
+    }
+    same = sum(1 for a, b in exact if comp[a] == comp[b])
+    assert len(exact) > 30_000
+    assert same / len(exact) >= 0.99
+    assert all(comp[a] == comp[b] for a, b in twins)
+    emb.unpersist()
