@@ -740,7 +740,11 @@ def _bucket_local_pairs(
     occ x occ task into occ/cap tasks of occ x cap. Buckets at or
     under the cap pass through untouched (no row duplication on the
     common path). Occupancy comes from a partial-agg count broadcast
-    back onto the stream — no extra wide exchange of the vectors.
+    back onto the stream — no extra wide exchange of the vectors; the
+    trade is that the upstream bucket assignment runs twice (once for
+    the count, once for the scored stream — a stateless rescan, chosen
+    over persisting a corpus-sized vector DataFrame or shuffling it an
+    extra time; the count pass reduces map-side to one row per bucket).
     """
     import numpy as np
     from pyspark.sql.functions import broadcast
