@@ -37,8 +37,17 @@ def test_bench_prints_one_json_line_with_contract_keys():
         assert key in d, f"missing contract key {key}"
     assert d["unit"] == "sec"
     assert isinstance(d["value"], (int, float)) and d["value"] > 0
-    # every registered query was timed
     import __spark_entry__ as entrymod
 
-    assert set(d["queries"]) == set(entrymod.queries())
+    registry = set(entrymod.queries())
+    # the stdout line keeps only the slowest queries under a 1900-char
+    # budget (the driver captures just the stdout tail); the COMPLETE
+    # per-query record lives in the immutable full_record file
+    assert len(lines[0]) <= 1900
+    assert set(d["queries"]) <= registry
+    assert d["n_queries"] == len(registry)
+    assert d["queries_omitted"] == len(registry) - len(d["queries"])
     assert all(v >= 0 for v in d["queries"].values())
+    full = json.load(open(os.path.join(REPO, d["full_record"])))
+    assert set(full["queries"]) == registry
+    assert all(v >= 0 for v in full["queries"].values())
