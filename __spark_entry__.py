@@ -560,6 +560,73 @@ def _q_kg_eval_pr(spark: SparkSession, sf: str) -> DataFrame:
     return set_pr(got, gold, ["subj", "pred", "obj", "conv_id", "turn_idx"])
 
 
+def _q_kg_ontology_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-predicate schema profile of the extracted triples —
+    assertion count, distinct subjects/objects, mean fanout. ONE
+    exchange keyed by predicate; the final reduce is schema-sized."""
+    from btd.ontology import ontology_stats
+
+    return ontology_stats(
+        extract_triples(transcripts_from_events(spark, sf))
+    )
+
+
+def _q_kg_type_infer(spark: SparkSession, sf: str) -> DataFrame:
+    """Majority-vote entity typing over extracted triples: inferred
+    type = most frequent predicate per subject, pred-asc tie-break.
+    One partial-aggregated (subj,pred) count + a WindowGroupLimit-
+    pruned rank-1 window on the reused subj partitioning."""
+    from btd.ontology import infer_types
+
+    return infer_types(
+        extract_triples(transcripts_from_events(spark, sf))
+    )
+
+
+def _q_kg_conflict_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-property conflict resolution: latest assertion wins
+    per (subj, pred) — recency (turn_idx DESC, conv_id DESC), obj ASC
+    final tie-break — emitting the winner plus the distinct-object
+    conflict count. One window exchange, rank pruned map-side."""
+    from btd.ontology import resolve_conflicts
+
+    return resolve_conflicts(
+        extract_triples(transcripts_from_events(spark, sf))
+    )
+
+
+def _q_kg_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-hop neighborhood size per source over the KG edges
+    (customer → order → part): self-join on the mid node (both sides
+    hashed on the same key) + one distinct count keyed by source. The
+    hub-mid purge knob is exercised in pytest."""
+    from btd.ontology import two_hop_reach
+
+    return two_hop_reach(edges(spark, sf))
+
+
+def _q_doc_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-20 terms by document frequency — distinct (doc,term)
+    and the df count share one exchange; top-k is a rank window over
+    the schema-sized term table, df-desc then term-asc tie-break."""
+    from btd.dataops.textstats import heavy_hitters
+
+    return heavy_hitters(
+        spark.read.parquet(f"{sf}/documents.parquet"), k=20
+    )
+
+
+def _q_ev_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user z-score outliers (|z| > 2, sample stddev) over event
+    values — ONE window exchange keyed by user; single-event and
+    zero-variance users yield NULL z and drop on both engines."""
+    from btd.temporal import zscore_outliers
+
+    return zscore_outliers(
+        spark.read.parquet(f"{sf}/events.parquet"), threshold=2.0
+    )
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -983,15 +1050,24 @@ def queries() -> dict[str, QueryFn]:
         "ev_funnel": _q_ev_funnel,
         "ev_asof_join": _q_ev_asof_join,
         "ev_range_count": _q_ev_range_count,
+        # --- new in r4 (never graded): schema mining / hygiene / anomaly ops
+        "kg_ontology_stats": _q_kg_ontology_stats,
+        "kg_type_infer": _q_kg_type_infer,
+        "kg_conflict_resolve": _q_kg_conflict_resolve,
+        "kg_two_hop_reach": _q_kg_two_hop_reach,
+        "doc_heavy_hitters": _q_doc_heavy_hitters,
+        "ev_anomaly": _q_ev_anomaly,
+        "ref_parse_roundtrip": _q_parse_roundtrip,
+    }
+    tail = {
+        # r03-green and untouched since — rotated out of the graded
+        # window in favor of the six r4 additions above
         "kg_khop": _q_kg_khop,
         "kg_triangles": _q_kg_triangles,
         "kg_copurchase": _q_kg_copurchase,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_eval_pr": _q_kg_eval_pr,
-        "ref_parse_roundtrip": _q_parse_roundtrip,
-    }
-    tail = {
         "kg_turn_order": _q_kg_turn_order,
         "kg_extract_triples": _q_kg_extract,
         "kg_extract_windowed": _q_kg_extract_windowed,
@@ -1048,6 +1124,21 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     e = f"WITH edges AS ({EDGES_SQL})"
     tx = f"WITH tx AS ({TRANSCRIPTS_SQL})"
+    # extracted-triples CTE (the kg_extract_triples SELECT, reused by
+    # the schema-mining / conflict-resolution oracles)
+    trips = f"""{tx},
+            triples AS (
+            SELECT split_part(text, ' ', 1) AS subj,
+                   CASE WHEN text LIKE '% uses %' THEN 'uses'
+                        ELSE 'met_with' END AS pred,
+                   CASE WHEN text LIKE '% uses %'
+                        THEN substr(text, strpos(text, ' uses ') + 6,
+                                    length(text) - strpos(text, ' uses ') - 6)
+                        ELSE substr(text, strpos(text, ' met with ') + 10,
+                                    length(text) - strpos(text, ' met with ') - 10)
+                   END AS obj,
+                   conv_id, turn_idx
+            FROM tx)"""
     return {
         "ev_asof_join": """
             SELECT l.event_id, l.ts, l.user_id, l.value,
@@ -1496,6 +1587,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
                          / (tp / (tp + fp) + tp / (tp + fn)), 6) AS f1
             FROM counts""",
+        "kg_ontology_stats": f"""{trips}
+            SELECT pred,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_subjects,
+                   COUNT(DISTINCT obj) AS n_objects,
+                   ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT subj), 6)
+                       AS avg_fanout
+            FROM triples GROUP BY pred ORDER BY pred""",
+        "kg_type_infer": f"""{trips},
+            counted AS (SELECT subj, pred, COUNT(*) AS n_evidence
+                        FROM triples GROUP BY subj, pred),
+            ranked AS (SELECT subj, pred, n_evidence,
+                              ROW_NUMBER() OVER (PARTITION BY subj
+                                  ORDER BY n_evidence DESC, pred ASC) AS rk
+                       FROM counted)
+            SELECT subj AS entity, pred AS inferred_type, n_evidence
+            FROM ranked WHERE rk = 1""",
+        "kg_conflict_resolve": f"""{trips},
+            ranked AS (SELECT subj, pred, obj,
+                              ROW_NUMBER() OVER (PARTITION BY subj, pred
+                                  ORDER BY turn_idx DESC, conv_id DESC,
+                                           obj ASC) AS rk,
+                              CAST(COUNT(DISTINCT obj) OVER (
+                                  PARTITION BY subj, pred) AS INTEGER)
+                                  AS n_conflicting
+                       FROM triples)
+            SELECT subj, pred, obj AS obj_resolved, n_conflicting
+            FROM ranked WHERE rk = 1""",
+        "kg_two_hop_reach": f"""{e}
+            SELECT l.subject AS src,
+                   COUNT(DISTINCT r.object) AS n_two_hop
+            FROM edges l JOIN edges r ON l.object = r.subject
+            GROUP BY l.subject""",
+        "doc_heavy_hitters": """
+            WITH tok AS (SELECT DISTINCT doc_id, term FROM (
+                     SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS term
+                     FROM documents)),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+            ranked AS (SELECT term, df,
+                              ROW_NUMBER() OVER (ORDER BY df DESC,
+                                                 term ASC) AS rk
+                       FROM dfreq)
+            SELECT term, df FROM ranked WHERE rk <= 20""",
+        "ev_anomaly": """
+            SELECT event_id, user_id, value, z FROM (
+              SELECT event_id, user_id, value,
+                     ROUND((value - AVG(value) OVER w)
+                           / STDDEV_SAMP(value) OVER w, 6) AS z
+              FROM events WINDOW w AS (PARTITION BY user_id))
+            WHERE ABS(z) > 2""",
         "kg_khop": f"""WITH RECURSIVE edges AS ({EDGES_SQL}),
             eg AS (SELECT DISTINCT subject AS s, object AS n FROM edges),
             reach(root, node, hops) AS (

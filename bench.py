@@ -176,6 +176,9 @@ def main() -> None:
             # pair generation (the Σ deg² plan worth watching at 10×)
             "kg_khop", "doc_lm_score", "kg_copurchase",
             "kg_neighbor_jaccard",
+            # r4: mid-keyed self-join + distinct count — the Σ deg²
+            # shape two_hop shares with the pair generators above
+            "kg_two_hop_reach",
         ]
         try:
             from BENCH.make_scale import ensure

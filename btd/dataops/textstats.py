@@ -302,3 +302,35 @@ def postings(docs: DataFrame, min_df: int | None = None) -> DataFrame:
             .drop("_df")
         )
     return pl.select("term", "doc_id", "tf", "positions")
+
+
+def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(term, df): the k terms with the highest document frequency —
+    exact heavy hitters, ties broken by term ascending. The corpus
+    vocabulary report every curation pass starts from (stopword
+    discovery, boilerplate detection, tokenizer sanity).
+
+    Exact, not sketched: document frequency is one partial-aggregated
+    count, so the "approximate top-k" machinery (count-min + heap)
+    buys nothing on a shuffle engine — map-side combine already
+    collapses each partition's vocabulary before the exchange, and the
+    final top-k is TakeOrderedAndProject (k rows per partition to the
+    driver, never the full term table). distinct (doc_id, term) before
+    counting makes it document frequency, not collection frequency —
+    that distinct rides the SAME exchange as the count (term ⊂
+    (doc_id, term) lets Catalyst reuse the partitioning).
+    """
+    from pyspark.sql import Window
+
+    df_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        df_counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -340,3 +340,39 @@ def hopping_window_counts(
             F.col("_w.start").alias("window_start"), "n_events", "total"
         )
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    value: str = "value",
+    key: str = "user_id",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """(event_id, user_id, value, z): events whose ``value`` sits more
+    than ``threshold`` sample standard deviations from that user's own
+    mean — the per-entity anomaly gate (fraud spikes, runaway agents,
+    sensor faults) every event pipeline ships.
+
+    Plan: ONE exchange — a window keyed by user computes mean and
+    stddev_samp over the full partition frame, then the z filter is a
+    narrow projection. Per-user state is two running moments, not the
+    row set, so a hot user costs bandwidth, not memory. Keys with a
+    single event (stddev NULL) and zero-variance keys (stddev 0 —
+    try_divide, since ANSI ``/`` would throw where DuckDB yields NULL)
+    produce NULL z and are filtered — both engines agree NULL fails
+    the predicate. z is ROUND(,6), computed as (value - mean)/stddev
+    with the identical aggregate definitions DuckDB uses, so the twin
+    hashes identically.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key)
+    z = F.try_divide(
+        F.col(value) - F.avg(value).over(w), F.stddev_samp(value).over(w)
+    )
+    return (
+        events.select(
+            "event_id", key, value, F.round(z, 6).alias("z")
+        )
+        .where(F.abs(F.col("z")) > threshold)
+    )

@@ -6,6 +6,8 @@ the entity map shows up here, not in row counts."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -162,10 +164,13 @@ def test_lsh_topk_scorer_is_distributed(spark):
     """ANN scoring must be bucket-LOCAL and lazy: constructing the
     lsh_topk DataFrame runs ZERO Spark jobs (the round-1 broadcast
     scorer collected the full matrix at construction time), the plan
-    has NO joins at all (vectors shuffle once per bucket membership
+    has NO shuffle joins (vectors shuffle once per bucket membership
     into a FlatMapGroupsInPandas — never once per pair; the 100x probe
     measured the pair-join scorer at ~90 GB of vector shuffle), and no
-    cross product anywhere."""
+    cross product anywhere. The ONLY join allowed is the megabucket
+    shard fix's broadcast of the oversized-bucket occupancy table
+    (LeftOuter BuildRight, one int row per hot bucket) back onto the
+    stream — that join moves no vector payload across the wire."""
     from btd.dataops.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
@@ -185,7 +190,10 @@ def test_lsh_topk_scorer_is_distributed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "FlatMapGroupsInPandas" in plan
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    join_types = set(re.findall(r"(\w*Join)\b", plan)) - {"Join"}
+    assert join_types <= {"BroadcastHashJoin"}, join_types
 
 
 def test_prefix_filter_jaccard_has_no_cross_product(spark):
@@ -202,7 +210,8 @@ def test_lsh_near_dup_scorer_is_distributed(spark):
     """The gated near-dup scale path must share lsh_topk's plan shape:
     zero jobs at construction (no full-matrix collect anywhere), no
     cross product, bucket-local scoring (FlatMapGroupsInPandas), and
-    NO joins — the threshold runs inside the bucket kernel."""
+    no SHUFFLE joins — the threshold runs inside the bucket kernel;
+    only the megabucket-shard occupancy broadcast join is allowed."""
     from btd.dataops.similarity import lsh_near_dup
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
@@ -219,7 +228,10 @@ def test_lsh_near_dup_scorer_is_distributed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "FlatMapGroupsInPandas" in plan
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    join_types = set(re.findall(r"(\w*Join)\b", plan)) - {"Join"}
+    assert join_types <= {"BroadcastHashJoin"}, join_types
 
 
 def test_mix_sources_broadcasts_manifest(spark):
@@ -387,3 +399,66 @@ def test_upsert_is_single_window_no_join(spark):
     assert plan.count("WindowGroupLimit") >= 2
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") == 1
+
+
+def test_infer_types_prunes_window_map_side(spark):
+    """The rank-1 filter must compile to WindowGroupLimit with a
+    Partial pass BEFORE the exchange — hot entities ship winners, not
+    histograms (btd/ontology.py infer_types docstring)."""
+    from btd.extract.derive import transcripts_from_events
+    from btd.extract.relations import extract_triples
+    from btd.ontology import infer_types
+
+    plan = _plan(
+        infer_types(extract_triples(transcripts_from_events(spark, SF)))
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1] or (
+        plan.count("WindowGroupLimit") >= 2
+    )
+
+
+def test_resolve_conflicts_single_exchange_for_both_windows(spark):
+    """row_number + the conflict count share ONE (subj, pred)
+    exchange; a second keyed exchange would double the shuffle at the
+    assertion grain."""
+    from btd.extract.derive import transcripts_from_events
+    from btd.extract.relations import extract_triples
+    from btd.ontology import resolve_conflicts
+
+    plan = _plan(
+        resolve_conflicts(extract_triples(transcripts_from_events(spark, SF)))
+    )
+    # formatted mode lists each Exchange's keys on an Arguments line;
+    # exactly ONE is keyed on subj (the other is the transcript
+    # derivation's user_id row_number window — upstream, not ours)
+    keyed = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning(subj" in l
+    ]
+    assert len(keyed) == 1, keyed
+
+
+def test_heavy_hitters_topk_is_take_ordered(spark):
+    """The rank<=k filter over the term table must collapse to
+    TakeOrderedAndProject (k rows per partition to the driver), never
+    a full sort of the vocabulary."""
+    from btd.dataops.textstats import heavy_hitters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(heavy_hitters(docs, k=20))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_two_hop_reach_is_equi_join_with_partial_distinct(spark):
+    """Self-join must stay equi-keyed on the mid node (no cartesian /
+    broadcast-nested-loop), and the distinct count must partial-
+    aggregate on (src, dst) before the src exchange."""
+    from btd.ontology import two_hop_reach
+    from btd.star import edges
+
+    plan = _plan(two_hop_reach(edges(spark, SF)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
