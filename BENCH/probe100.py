@@ -47,6 +47,9 @@ QUERIES = [
     "ev_sessionize",
     "ev_asof_join",
     "kg_entities",
+    # r4: mid-keyed self-join + per-source distinct count — the new
+    # two-hop op's Σ deg² join surface measured at 100x, not argued
+    "kg_two_hop_reach",
 ]
 
 
