@@ -627,6 +627,18 @@ def _q_ev_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_doc_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights: mean bigram log-likelihood ratio under
+    the src0 target model vs the corpus model — the data-selection
+    tilt a 100 TB mix pass resamples on. Target side LEFT-joined with
+    the smoothed 1/(0+V_t) floor for unseen bigrams."""
+    from btd.dataops.textstats import dsir_weights
+
+    return dsir_weights(
+        spark.read.parquet(f"{sf}/documents.parquet"), target_source="src0"
+    )
+
+
 def _q_kg_turn_integrity(spark: SparkSession, sf: str) -> DataFrame:
     from btd.extract.turns import check_turn_integrity
 
@@ -1060,6 +1072,9 @@ def queries() -> dict[str, QueryFn]:
         "ref_parse_roundtrip": _q_parse_roundtrip,
     }
     tail = {
+        # new in r4 AFTER the graded window filled — covered by
+        # tests/test_oracle_parity.py now, rotates into the window in r5
+        "doc_dsir": _q_doc_dsir,
         # r03-green and untouched since — rotated out of the graded
         # window in favor of the six r4 additions above
         "kg_khop": _q_kg_khop,
@@ -1587,6 +1602,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
                          / (tp / (tp + fp) + tp / (tp + fn)), 6) AS f1
             FROM counts""",
+        "doc_dsir": """
+            WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                       FROM documents),
+            bg AS (SELECT doc_id, source,
+                          unnest(tk[1:len(tk) - 1]) AS w1,
+                          unnest(tk[2:len(tk)]) AS w2
+                   FROM t WHERE len(tk) >= 2),
+            model AS (SELECT w1, w2, COUNT(*) AS c12
+                      FROM bg GROUP BY w1, w2),
+            starts AS (SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1),
+            vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+                          (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents)),
+            tmodel AS (SELECT w1, w2, COUNT(*) AS t12
+                       FROM bg WHERE source = 'src0' GROUP BY w1, w2),
+            tstarts AS (SELECT w1, SUM(t12) AS t1 FROM tmodel GROUP BY w1),
+            tvocab AS (SELECT COUNT(DISTINCT w) AS tv FROM
+                          (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents WHERE source = 'src0')),
+            sc AS (SELECT g.doc_id,
+                          ln((COALESCE(tm.t12, 0) + 1)
+                             / (COALESCE(ts.t1, 0) + tv.tv))
+                          - ln((m.c12 + 1) / (s.c1 + v.v)) AS lr
+                   FROM bg g
+                   JOIN model m USING (w1, w2)
+                   JOIN starts s USING (w1)
+                   LEFT JOIN tmodel tm USING (w1, w2)
+                   LEFT JOIN tstarts ts USING (w1)
+                   CROSS JOIN vocab v
+                   CROSS JOIN tvocab tv)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(lr), 6) AS dsir_weight
+            FROM sc GROUP BY doc_id""",
         "kg_ontology_stats": f"""{trips}
             SELECT pred,
                    COUNT(*) AS n_triples,

@@ -334,3 +334,95 @@ def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
+    """(doc_id, n_bigrams, dsir_weight): per-document importance
+    weight for data selection — the mean log-likelihood RATIO of the
+    doc's word bigrams under a TARGET bigram model (docs whose
+    ``source`` equals ``target_source``) vs the corpus model, DSIR's
+    hashed-ngram importance resampling reduced to exact bigrams
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — public method). Positive weight = reads
+    like the target domain; resample/threshold on it to tilt a
+    100 TB corpus toward a target distribution without training a
+    classifier.
+
+    Both models are add-one smoothed like bigram_lm_scores; the
+    target side joins LEFT with coalesce(0) so bigrams unseen in the
+    target get the smoothed floor 1/(0+V_t) instead of silently
+    dropping (an inner join would skew weights toward docs sharing
+    the target's vocabulary — exactly the bias the smoothing exists
+    to avoid). Plan: bigrams are narrow slice+zip; each model is ONE
+    partial-aggregated (w1,w2) exchange over its slice of the corpus;
+    scoring is two equi-joins on (w1,w2) against vocabulary-sized
+    tables plus two 1-row broadcast vocab aggregates; the final
+    per-doc mean is one doc_id-keyed exchange. dsir_weight is
+    ROUND(,6) of a mean of exact same-input doubles — engine-stable
+    like avg_logp.
+    """
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    bg = (
+        toks.where(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.col("_n") - 1).alias("w1"),
+                    F.slice(F.col("_t"), 2, F.col("_n") - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id", "source",
+            F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"),
+        )
+    )
+    corpus_model = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    corpus_starts = corpus_model.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    )
+    corpus_vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("_w")
+    ).agg(F.count_distinct("_w").alias("v"))
+
+    tgt = bg.where(F.col("source") == target_source)
+    tgt_model = tgt.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("t12")
+    )
+    tgt_starts = tgt_model.groupBy("w1").agg(F.sum("t12").alias("t1"))
+    tgt_vocab = (
+        docs.where(F.col("source") == target_source)
+        .select(F.explode(F.split("text", " ")).alias("_w"))
+        .agg(F.count_distinct("_w").alias("tv"))
+    )
+
+    scored = (
+        bg.join(corpus_model, ["w1", "w2"])
+        .join(corpus_starts, "w1")
+        .join(tgt_model, ["w1", "w2"], "left")
+        .join(tgt_starts, "w1", "left")
+        .crossJoin(F.broadcast(corpus_vocab))
+        .crossJoin(F.broadcast(tgt_vocab))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("t12"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("t1"), F.lit(0)) + F.col("tv"))
+                )
+                - F.log(
+                    (F.col("c12") + 1) / (F.col("c1") + F.col("v"))
+                )
+            ).alias("_lr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lr"), 6).alias("dsir_weight"),
+    )

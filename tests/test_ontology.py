@@ -135,3 +135,22 @@ def test_zscore_outliers_flags_spike_and_drops_degenerate(spark):
     got = zscore_outliers(ev, threshold=2.0).collect()
     assert [r["event_id"] for r in got] == [9]
     assert got[0]["z"] > 2
+
+
+def test_dsir_weights_tilt_toward_target_domain(spark):
+    from btd.dataops.textstats import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            ("t1", "the cat sat on the mat", "wiki"),
+            ("t2", "the cat ate the fish", "wiki"),
+            ("o1", "buy cheap pills online now", "spam"),
+            ("o2", "the cat sat on the mat", "spam"),  # target-like text
+        ],
+        "doc_id string, text string, source string",
+    )
+    w = {r["doc_id"]: r["dsir_weight"] for r in
+         dsir_weights(docs, target_source="wiki").collect()}
+    # target-domain docs and target-LIKE text outrank out-of-domain
+    assert w["t1"] > w["o1"]
+    assert w["o2"] > w["o1"]  # weight follows TEXT, not the source label
