@@ -70,3 +70,15 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_every_query_has_an_exact_oracle():
+    """Registry invariant: every queries() entry ships an oracle_sql()
+    twin — a new operator silently landing rows-only would weaken the
+    driver's gate without anyone noticing (the driver degrades to a
+    rows-only check when the key is absent)."""
+    missing = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+    assert missing == [], f"rows-only queries: {missing}"
+    # and no orphaned oracles either
+    orphaned = sorted(set(entrymod.oracle_sql()) - set(entrymod.queries()))
+    assert orphaned == [], f"oracles without queries: {orphaned}"
