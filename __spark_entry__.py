@@ -719,6 +719,28 @@ def _write_transcripts_tmp(spark: SparkSession, sf: str) -> str:
     return tmp
 
 
+_EV_WRITTEN: set = set()
+
+
+def _write_events_tmp(spark: SparkSession, sf: str) -> str:
+    """Events twin of _write_transcripts_tmp: the streaming file
+    source needs a DIRECTORY, and /root/testdata is read-only — copy
+    the events table once per (process, sf), pid-unique for the same
+    concurrent-process reason."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    tmp = f"{tempfile.gettempdir()}/btd_stream_ev_{_os.getpid()}_{tag}"
+    if tmp not in _EV_WRITTEN:
+        spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "ts", "user_id", "value"
+        ).write.mode("overwrite").parquet(tmp)
+        _EV_WRITTEN.add(tmp)
+    return tmp
+
+
 _STREAM_SEQ = [0]
 
 
@@ -862,6 +884,25 @@ def _q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct("a_turn_idx").alias("n_asst_turns"),
         )
     )
+
+
+def _q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator #2 in the gate: running
+    per-user z-score anomalies (Welford-style three-scalar state via
+    applyInPandasWithState, append mode) over a file-source event
+    stream. One micro-batch for the static replay, so the output
+    equals the batch expanding-window formulation — a full SQL oracle
+    for an arbitrary-state operator, like stream_sessionize."""
+    from btd.streaming import run_to_memory, zscore_anomaly_stream
+
+    path = _write_events_tmp(spark, sf)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_anomaly_{_STREAM_SEQ[0]}"
+    run_to_memory(zscore_anomaly_stream(stream, threshold=2.0), name)
+    return spark.table(name)
 
 
 def _q_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
@@ -1112,6 +1153,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_dedup": _q_stream_dedup,
         "stream_enrich": _q_stream_enrich,
         "stream_join": _q_stream_join,
+        "stream_anomaly": _q_stream_anomaly,
         "ev_sessionize": _q_ev_sessionize,
         "ev_rollup": _q_ev_rollup,
         "ev_quantiles": _q_ev_quantiles,
@@ -1602,6 +1644,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
                          / (tp / (tp + fp) + tp / (tp + fn)), 6) AS f1
             FROM counts""",
+        "stream_anomaly": """
+            WITH pr AS (SELECT event_id, user_id, value,
+                               COUNT(value) OVER w AS n_prior,
+                               AVG(value) OVER w AS m,
+                               STDDEV_SAMP(value) OVER w AS s
+                        FROM events
+                        WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING))
+            SELECT event_id, user_id, value,
+                   ROUND((value - m) / s, 6) AS z,
+                   CAST(n_prior AS BIGINT) AS n_prior
+            FROM pr
+            WHERE n_prior >= 2 AND s > 0 AND ABS((value - m) / s) > 2""",
         "doc_dsir": """
             WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
                        FROM documents),

@@ -232,3 +232,76 @@ def enrich_stream(transcripts: DataFrame, tool_dim: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return transcripts.join(F.broadcast(tool_dim), "tool", "left")
+
+
+def zscore_anomaly_stream(
+    events: DataFrame, threshold: float = 2.0
+) -> DataFrame:
+    """Custom stateful operator #2: RUNNING per-user z-score anomalies
+    over an event stream via ``applyInPandasWithState`` (append mode) —
+    the online twin of btd.temporal.zscore_outliers. Each event is
+    scored against the user's history SO FAR (prior events only, by
+    (ts, event_id) order): z = (value − mean_prior) / stddev_prior
+    (sample), emitted once when |z| > threshold and at least 2 prior
+    events exist with positive variance — the alert an agent-runaway /
+    fraud monitor raises the moment the spike arrives, not at window
+    close.
+
+    State per user = (n, Σv, Σv²): three scalars, so state size is
+    O(users), never O(events) — the bound that lets this run forever.
+    Per batch the expanding stats are vectorized (cumsum seeded from
+    state, shifted one row for the PRIOR frame); no per-row Python.
+    Σv² cancellation sits ~8 orders below the ROUND(,6) step at this
+    data's magnitudes; the exact SQL twin is an expanding window
+    (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) with the same
+    n≥2 / s>0 guards. Cross-batch determinism needs batches arriving
+    in event-time order per user (one micro-batch for the gate's
+    static replay — same caveat as sessionize_stream).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id long, user_id long, value double, z double, "
+        "n_prior long"
+    )
+    state_schema = "n long, s double, ss double"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n0, s0, ss0 = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            yield pd.DataFrame(
+                columns=["event_id", "user_id", "value", "z", "n_prior"]
+            )
+            return
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = pdf["value"].astype("float64")
+        # prior-frame sums: state + in-batch cumulative shifted by one
+        cs = v.cumsum().shift(1, fill_value=0.0) + s0
+        css = (v * v).cumsum().shift(1, fill_value=0.0) + ss0
+        n = np.arange(len(v), dtype="int64") + n0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = cs / n
+            var = (css - cs * cs / n) / (n - 1)
+            z = (v - mean) / np.sqrt(var)
+        ok = (n >= 2) & (var > 0) & (np.abs(z) > threshold)
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"][ok],
+                "user_id": user_id,
+                "value": v[ok],
+                "z": z[ok].round(6),
+                "n_prior": n[ok],
+            }
+        )
+        state.update(
+            (int(n0 + len(v)), float(s0 + v.sum()), float(ss0 + (v * v).sum()))
+        )
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

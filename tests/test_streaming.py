@@ -49,3 +49,40 @@ def test_windowed_turn_counts(spark, transcripts_df, tx_path):
     for r in got:
         key = (r.window_start, r.window_end, r.conv_id)
         assert batch[key] == (r.n_turns, r.n_roles)
+
+
+def test_zscore_anomaly_stream_carries_state_across_batches(
+    spark, tmp_path
+):
+    """The Welford state must merge across micro-batches: 9 calm
+    events arrive in batch 1, the spike in batch 2 — it can only be
+    flagged if batch 2 sees batch 1's (n, Σv, Σv²)."""
+    import os
+    import time
+
+    from btd.streaming import run_to_memory, zscore_anomaly_stream
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    calm = spark.createDataFrame(
+        [(i, f"2024-01-01 00:0{i}:00", 1, 10.0 + (i % 2)) for i in range(9)],
+        "event_id long, ts_s string, user_id long, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS timestamp) AS ts", "user_id", "value")
+    spike = spark.createDataFrame(
+        [(9, "2024-01-01 01:00:00", 1, 1000.0)],
+        "event_id long, ts_s string, user_id long, value double",
+    ).selectExpr("event_id", "CAST(ts_s AS timestamp) AS ts", "user_id", "value")
+    calm.coalesce(1).write.parquet(d + "/b1")
+    time.sleep(1.1)  # distinct modTime so the file source orders batches
+    spike.coalesce(1).write.parquet(d + "/b2")
+
+    stream = (
+        spark.readStream.schema(calm.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/b*/")
+    )
+    run_to_memory(zscore_anomaly_stream(stream, threshold=2.0), "zs_anom")
+    got = spark.sql("SELECT * FROM zs_anom").collect()
+    assert [r["event_id"] for r in got] == [9]
+    assert got[0]["n_prior"] == 9  # proves batch-1 state reached batch 2
+    assert got[0]["z"] > 2
