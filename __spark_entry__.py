@@ -627,6 +627,18 @@ def _q_ev_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_temporal_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal-KG materialization: assertion history per (subj, pred)
+    as validity intervals — consecutive same-object re-assertions
+    collapse, the live assertion carries NULL valid_to. One keyed
+    exchange, two windows over one sort (plan-asserted)."""
+    from btd.ontology import temporal_triples
+
+    return temporal_triples(
+        extract_triples(transcripts_from_events(spark, sf))
+    )
+
+
 def _q_doc_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights: mean bigram log-likelihood ratio under
     the src0 target model vs the corpus model — the data-selection
@@ -1116,6 +1128,7 @@ def queries() -> dict[str, QueryFn]:
         # new in r4 AFTER the graded window filled — covered by
         # tests/test_oracle_parity.py now, rotates into the window in r5
         "doc_dsir": _q_doc_dsir,
+        "kg_temporal_triples": _q_kg_temporal_triples,
         # r03-green and untouched since — rotated out of the graded
         # window in favor of the six r4 additions above
         "kg_khop": _q_kg_khop,
@@ -1720,6 +1733,22 @@ def oracle_sql() -> dict[str, str]:
                        FROM triples)
             SELECT subj, pred, obj AS obj_resolved, n_conflicting
             FROM ranked WHERE rk = 1""",
+        "kg_temporal_triples": f"""{trips},
+            marked AS (SELECT subj, pred, obj, turn_idx, conv_id,
+                              lag(obj) OVER w AS prev_obj
+                       FROM triples
+                       WINDOW w AS (PARTITION BY subj, pred
+                                    ORDER BY turn_idx ASC, conv_id ASC,
+                                             obj ASC)),
+            changes AS (SELECT subj, pred, obj, turn_idx, conv_id
+                        FROM marked
+                        WHERE prev_obj IS NULL OR prev_obj <> obj)
+            SELECT subj, pred, obj,
+                   turn_idx AS valid_from,
+                   lead(turn_idx) OVER w2 AS valid_to
+            FROM changes
+            WINDOW w2 AS (PARTITION BY subj, pred
+                          ORDER BY turn_idx ASC, conv_id ASC, obj ASC)""",
         "kg_two_hop_reach": f"""{e}
             SELECT l.subject AS src,
                    COUNT(DISTINCT r.object) AS n_two_hop

@@ -160,3 +160,42 @@ def two_hop_reach(
         .groupBy("src")
         .agg(F.countDistinct("_dst").alias("n_two_hop"))
     )
+
+
+def temporal_triples(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, valid_from, valid_to): assertion HISTORY as
+    validity intervals — the temporal-KG materialization that
+    complements resolve_conflicts (which keeps only the winner). Per
+    (subj, pred), assertions are ordered by provenance recency
+    (turn_idx, conv_id, obj — the same total order resolve_conflicts
+    ranks by, ascending); consecutive re-assertions of the SAME object
+    collapse into one interval; each surviving assertion is valid from
+    its own turn_idx until the turn_idx that supersedes it, and the
+    current assertion carries NULL valid_to ("valid now"). An as-of
+    query over the KG is then a range predicate on these two columns
+    (btd.temporal.asof_join is the event-side twin).
+
+    Plan: ONE (subj, pred) exchange feeding two windows over the same
+    sort — lag(obj) marks change points, the filter drops repeats,
+    lead(turn_idx) on the SURVIVORS closes each interval. The filter
+    preserves partitioning and ordering, so the second window adds no
+    exchange and no sort (plan-asserted in tests). Hot (subj, pred)
+    keys ship their assertion history once — the natural grain, same
+    skew posture as resolve_conflicts.
+    """
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("turn_idx").asc(), F.col("conv_id").asc(), F.col("obj").asc()
+    )
+    marked = triples.select(
+        "subj", "pred", "obj", "turn_idx", "conv_id"
+    ).withColumn("_prev_obj", F.lag("obj").over(w))
+    changes = marked.where(
+        F.col("_prev_obj").isNull() | (F.col("_prev_obj") != F.col("obj"))
+    )
+    return changes.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("turn_idx").alias("valid_from"),
+        F.lead("turn_idx").over(w).alias("valid_to"),
+    )

@@ -154,3 +154,30 @@ def test_dsir_weights_tilt_toward_target_domain(spark):
     # target-domain docs and target-LIKE text outrank out-of-domain
     assert w["t1"] > w["o1"]
     assert w["o2"] > w["o1"]  # weight follows TEXT, not the source label
+
+
+def test_temporal_triples_intervals_and_run_collapse(spark):
+    from btd.ontology import temporal_triples
+
+    t = _triples(
+        spark,
+        [
+            ("a", "works_at", "OldCo", "c1", 0),
+            ("a", "works_at", "OldCo", "c1", 1),  # re-assertion: collapses
+            ("a", "works_at", "NewCo", "c1", 4),
+            ("a", "works_at", "OldCo", "c1", 7),  # back again: NEW interval
+            ("b", "works_at", "OnlyCo", "c2", 2),
+        ],
+    )
+    rows = sorted(
+        (
+            (r["subj"], r["obj"], r["valid_from"], r["valid_to"])
+            for r in temporal_triples(t).collect()
+        )
+    )
+    assert rows == [
+        ("a", "NewCo", 4, 7),
+        ("a", "OldCo", 0, 4),
+        ("a", "OldCo", 7, None),  # the live assertion
+        ("b", "OnlyCo", 2, None),
+    ]

@@ -462,3 +462,25 @@ def test_two_hop_reach_is_equi_join_with_partial_distinct(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_temporal_triples_two_windows_share_one_exchange(spark):
+    """lag-mark, filter, lead-close must ride ONE (subj, pred)
+    exchange and ONE sort — the filter preserves partitioning and
+    ordering, so the interval-closing window adds neither."""
+    from btd.extract.derive import transcripts_from_events
+    from btd.extract.relations import extract_triples
+    from btd.ontology import temporal_triples
+
+    plan = _plan(
+        temporal_triples(extract_triples(transcripts_from_events(spark, SF)))
+    )
+    keyed = [l for l in plan.splitlines() if "hashpartitioning(subj" in l]
+    assert len(keyed) == 1, keyed
+    body = plan.split("\n\n")[0]
+    # 2 ops windows + 1 upstream transcript row_number window; ONE sort
+    # for ours (the other is the derivation's) — a third sort or a
+    # second subj-keyed exchange means the filter stopped preserving
+    # the window's partitioning/ordering
+    assert body.count("Window") == 3
+    assert body.count("Sort") == 2
