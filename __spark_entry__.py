@@ -627,6 +627,17 @@ def _q_ev_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_doc_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=3 token grams, window 4):
+    any shared ≥6-token run between docs shares a fingerprint. One
+    doc_id window with a bounded frame + the distinct exchange."""
+    from btd.dataops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        spark.read.parquet(f"{sf}/documents.parquet"), k=3, window=4
+    )
+
+
 def _q_kg_temporal_triples(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal-KG materialization: assertion history per (subj, pred)
     as validity intervals — consecutive same-object re-assertions
@@ -1129,6 +1140,7 @@ def queries() -> dict[str, QueryFn]:
         # tests/test_oracle_parity.py now, rotates into the window in r5
         "doc_dsir": _q_doc_dsir,
         "kg_temporal_triples": _q_kg_temporal_triples,
+        "doc_winnow_fingerprints": _q_doc_winnow,
         # r03-green and untouched since — rotated out of the graded
         # window in favor of the six r4 additions above
         "kg_khop": _q_kg_khop,
@@ -1733,6 +1745,21 @@ def oracle_sql() -> dict[str, str]:
                        FROM triples)
             SELECT subj, pred, obj AS obj_resolved, n_conflicting
             FROM ranked WHERE rk = 1""",
+        "doc_winnow_fingerprints": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+            pos AS (SELECT doc_id, tk,
+                           unnest(range(1, len(tk) - 1)) AS i
+                    FROM t),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(tk[i:i+2], ' ')) AS h
+                      FROM pos),
+            wins AS (SELECT doc_id, i,
+                            MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN 3 PRECEDING
+                                                  AND CURRENT ROW) AS fp
+                     FROM grams)
+            SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4""",
         "kg_temporal_triples": f"""{trips},
             marked AS (SELECT subj, pred, obj, turn_idx, conv_id,
                               lag(obj) OVER w AS prev_obj

@@ -426,3 +426,59 @@ def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("_lr"), 6).alias("dsir_weight"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp): winnowing document fingerprints — the
+    rolling-hash scheme (Schleimer, Wilkerson, Aiken, SIGMOD'03 /
+    MOSS; public method): hash every k-token gram with a sliding
+    window of the token stream, then keep the MINIMUM hash of each
+    ``window`` consecutive grams, dedup per document. Guarantees any
+    shared run of ≥ k+window-1 tokens between two documents shares at
+    least one fingerprint — the local near-dup/plagiarism primitive
+    that token-SET fingerprints (``fingerprints``) can't give, since
+    those lose all locality.
+
+    The hash slides positionally (gram at every token offset); md5 of
+    the joined gram rather than a Rabin-Karp incremental polynomial —
+    on a vectorized engine the O(k) rehash per position is a constant
+    inside one codegen stage, and md5 is the hash DuckDB computes
+    byte-identically (lexicographic MIN over hex strings is the
+    window minimum on both engines). Plan: posexplode grams (narrow),
+    ONE doc_id-keyed window for the sliding min (bounded
+    ``window``-row frame), then the distinct's exchange — no joins,
+    no Python. Docs shorter than k+window-1 tokens emit nothing
+    (no full window exists).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    grams = (
+        toks.where(F.col("_n") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - k + 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("_t", i, k), " ")
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        grams.withColumn("_fp", F.min("h").over(w))
+        .where(F.col("pos") >= window - 1)  # full windows only (pos 0-based)
+        .select("doc_id", F.col("_fp").alias("fp"))
+        .distinct()
+    )

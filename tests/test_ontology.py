@@ -181,3 +181,28 @@ def test_temporal_triples_intervals_and_run_collapse(spark):
         ("a", "OldCo", 7, None),  # the live assertion
         ("b", "OnlyCo", 2, None),
     ]
+
+
+def test_winnow_fingerprints_guarantee_and_short_docs(spark):
+    """Winnowing guarantee: docs sharing a run of >= k+window-1 tokens
+    share at least one fingerprint; unrelated docs share none; docs
+    shorter than k+window-1 emit nothing."""
+    from btd.dataops.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = k+window-1
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"one two {shared} three four"),
+            ("d2", f"five six seven {shared} eight"),
+            ("d3", "nine ten eleven twelve thirteen fourteen fifteen"),
+            ("d4", "too short"),
+        ],
+        "doc_id string, text string",
+    )
+    fp = winnow_fingerprints(docs, k=3, window=4).collect()
+    by_doc: dict = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc["d1"] & by_doc["d2"], "shared run must share a fingerprint"
+    assert not (by_doc["d1"] & by_doc["d3"])
+    assert "d4" not in by_doc
