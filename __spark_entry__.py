@@ -627,6 +627,24 @@ def _q_ev_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_entity_cooccur(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity co-mention affinity edges from provenance: entity pairs
+    (triple subjects+objects) sharing >= 2 conversations — the untyped
+    KG-enrichment edge a recommendation/context layer adds next to the
+    typed triples. Reuses the basket primitive (basket = conv_id):
+    pair volume is bounded by per-conversation entity width, and the
+    mega-basket purge knob applies unchanged."""
+    from btd.analytics.cooccur import basket_cooccurrence
+
+    tri = extract_triples(transcripts_from_events(spark, sf))
+    ents = tri.select("conv_id", F.col("subj").alias("entity")).unionByName(
+        tri.select("conv_id", F.col("obj").alias("entity"))
+    )
+    return basket_cooccurrence(
+        ents, basket="conv_id", item="entity", min_shared=2
+    )
+
+
 def _q_doc_winnow(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=3 token grams, window 4):
     any shared ≥6-token run between docs shares a fingerprint. One
@@ -1141,6 +1159,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_dsir": _q_doc_dsir,
         "kg_temporal_triples": _q_kg_temporal_triples,
         "doc_winnow_fingerprints": _q_doc_winnow,
+        "kg_entity_cooccur": _q_kg_entity_cooccur,
         # r03-green and untouched since — rotated out of the graded
         # window in favor of the six r4 additions above
         "kg_khop": _q_kg_khop,
@@ -1745,6 +1764,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM triples)
             SELECT subj, pred, obj AS obj_resolved, n_conflicting
             FROM ranked WHERE rk = 1""",
+        "kg_entity_cooccur": f"""{trips},
+            ents AS (SELECT conv_id, subj AS entity FROM triples
+                     UNION ALL
+                     SELECT conv_id, obj AS entity FROM triples),
+            items AS (SELECT DISTINCT conv_id, entity FROM ents)
+            SELECT a.entity AS item_a, b.entity AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_baskets
+            FROM items a JOIN items b
+              ON a.conv_id = b.conv_id AND a.entity < b.entity
+            GROUP BY a.entity, b.entity
+            HAVING COUNT(*) >= 2""",
         "doc_winnow_fingerprints": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                        FROM documents),
