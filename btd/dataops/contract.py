@@ -252,6 +252,22 @@ def _q_emb_cluster_sample(spark, sf):
     return cluster_sample(_emb(spark, sf), per_cluster=3, n_iter=3)
 
 
+def _q_emb_recall(spark, sf):
+    """ANN quality gate AS an operator: recall@3 of the LSH top-k path
+    against the exact baseline, both built lazily and compared in ONE
+    (query, neighbor) join + a 1-row rollup — never a driver-side
+    result-list diff. The oracle composes the two existing SQL twins,
+    so the three queries can only agree."""
+    from btd.dataops.similarity import recall_at_k
+
+    emb = _emb(spark, sf)
+    return recall_at_k(
+        lsh_topk(emb, dim=64, k=3, n_tables=8),
+        blas_topk(emb, 3),
+        k=3,
+    )
+
+
 def _q_doc_tfidf(spark, sf):
     """Top-3 TF-IDF keywords per document — all Catalyst (explode, two
     partial-aggregated shuffles, term-keyed join, per-doc window);
@@ -572,6 +588,7 @@ def queries_dataops():
         "emb_cosine_near_dup": _q_emb_near_dup,
         "emb_cosine_near_dup_exact": _q_emb_near_dup_exact,
         "emb_brute_force_topk": _q_emb_brute_topk,
+        "emb_recall_at_k": _q_emb_recall,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_cluster_sample": _q_emb_cluster_sample,
@@ -695,6 +712,36 @@ def _lsh_cand_sql(dim: int, n_tables: int, bits: int, pair_op: str) -> str:
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM buckets a JOIN buckets b USING (bucket)
          WHERE a.vec_id {pair_op} b.vec_id)"""
+
+
+def _brute_topk_sql(k: int) -> str:
+    """Exact top-k twin (BLAS kernel's output) — also the ground-truth
+    side of the recall oracle."""
+    return f"""WITH {_COSINE_SQL},
+            ranked AS (SELECT id_a, id_b, cosine,
+                              CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                                   ORDER BY cosine DESC, id_b) AS INTEGER)
+                                  AS rank
+                       FROM pairs WHERE id_a != id_b)
+            SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+def _recall_sql(k: int) -> str:
+    """recall@k of the LSH path vs exact, composed from the two
+    existing twins as subqueries (DuckDB allows WITH inside a derived
+    table) — the oracle can only agree with itself."""
+    lsh = _lsh_topk_sql(bits=auto_lsh_bits(_gate_corpus_n()))
+    brute = _brute_topk_sql(k)
+    return f"""
+            WITH lsh AS (SELECT id_a, id_b FROM ({lsh}) tl),
+            brute AS (SELECT id_a, id_b FROM ({brute}) tb),
+            hits AS (SELECT b.id_a, COUNT(l.id_b) AS n_hit
+                     FROM brute b LEFT JOIN lsh l
+                       ON b.id_a = l.id_a AND b.id_b = l.id_b
+                     GROUP BY b.id_a)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   ROUND(AVG(n_hit * 1.0 / {k}), 6) AS avg_recall_at_k
+            FROM hits"""
 
 
 def _lsh_topk_sql(dim: int = 64, k: int = 3, n_tables: int = 8,
@@ -1084,11 +1131,6 @@ def oracle_sql_dataops():
         "emb_cosine_near_dup_exact": f"""WITH {_COSINE_SQL}
             SELECT id_a, id_b, cosine FROM pairs
             WHERE id_a < id_b AND cosine >= 0.45""",
-        "emb_brute_force_topk": f"""WITH {_COSINE_SQL},
-            ranked AS (SELECT id_a, id_b, cosine,
-                              CAST(ROW_NUMBER() OVER (PARTITION BY id_a
-                                   ORDER BY cosine DESC, id_b) AS INTEGER)
-                                  AS rank
-                       FROM pairs WHERE id_a != id_b)
-            SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= 3""",
+        "emb_brute_force_topk": _brute_topk_sql(3),
+        "emb_recall_at_k": _recall_sql(3),
     }

@@ -837,3 +837,37 @@ def _bucket_local_pairs(
     return grouped.groupBy("bucket", "_sh").applyInPandas(
         fn, "id_a long, id_b long, cosine double"
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """(n_queries, avg_recall_at_k): distributed ANN quality gate —
+    fraction of the EXACT top-k each approximate result recovered,
+    averaged over all queries. The acceptance metric for any ANN
+    rollout (swap LSH widths, IVF probe counts, PQ codebooks → this
+    one number says what it cost), computed as a dataflow so a
+    10⁹-vector evaluation never funnels result lists to the driver —
+    the pytest recall floors sample; this is the operator form.
+
+    Plan: ONE equi-join on (query, neighbor) — the approximate side
+    carries a hit marker, a LEFT join keeps exact-side misses — then a
+    query-keyed partial-agg count and a 1-row global mean. Queries the
+    approximate path missed entirely still appear (joined rows all
+    null ⇒ n_hit 0), so the metric is honest about bucket misses,
+    not just ranking disagreements.
+    """
+    hits = (
+        exact.select("id_a", "id_b")
+        .join(
+            approx.select("id_a", "id_b").withColumn("_hit", F.lit(1)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .groupBy("id_a")
+        .agg(F.count("_hit").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / F.lit(float(k))), 6).alias(
+            "avg_recall_at_k"
+        ),
+    )

@@ -258,3 +258,19 @@ def test_semantic_dedup_recall_vs_exact_baseline(spark):
     assert same / len(exact) >= 0.99
     assert all(comp[a] == comp[b] for a, b in twins)
     emb.unpersist()
+
+
+def test_recall_at_k_identity_and_miss(spark):
+    """recall_at_k == 1.0 against itself; a query the approx side
+    missed entirely still counts (as 0), so bucket misses show up."""
+    from btd.dataops.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 3)], "id_a long, id_b long"
+    )
+    full = recall_at_k(exact, exact, k=2).collect()[0]
+    assert full["n_queries"] == 2 and full["avg_recall_at_k"] == 1.0
+    approx = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    part = recall_at_k(approx, exact, k=2).collect()[0]
+    # query 1 recovered 1 of 2; query 2 missed entirely -> (0.5+0)/2
+    assert part["n_queries"] == 2 and part["avg_recall_at_k"] == 0.25
