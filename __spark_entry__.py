@@ -1093,9 +1093,12 @@ def queries() -> dict[str, QueryFn]:
     that need a fresh hard-signal row (never graded, or code rewritten since
     their last green row). Round 4 rotation: slots 1-36 are the 36 queries with
     no CORRECTNESS_r03 row (the rewritten bucket-local emb_* ANN/dedup block
-    first); slots 37-50 re-grade queries touched or regressed in r03. The
-    permanently-stable ref_*/stream_*/ev_* greens rotate to the tail — their
-    code is untouched and tests/test_oracle_parity.py still covers all 86."""
+    first); slots 37-43 re-grade queries touched or regressed in r03; 44-49
+    are the six new r4 schema-mining/anomaly ops. The permanently-stable
+    ref_*/stream_*/ev_* greens rotate to the tail, along with the late-r4
+    additions (doc_dsir, kg_temporal_triples, doc_winnow_fingerprints,
+    kg_entity_cooccur, emb_recall_at_k, stream_anomaly) that queue for the r5
+    window — tests/test_oracle_parity.py still covers the full registry (98)."""
     head = {
         # --- rewritten in r3 (bucket-local scoring, similarity.py) — top priority
         "emb_lsh_topk": None,

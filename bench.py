@@ -222,8 +222,19 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     sf_tag = str(sf).replace(".", "p") if sf >= 0 else "unknown"
     rec_name = f"run_sf{sf_tag}_c{cores}.json"
-    with open(os.path.join(repo, "BENCH", rec_name), "w") as f:
+    # BTD_BENCH_RECORD_DIR redirects the record (e.g. the contract test
+    # writes to a tmp dir so pytest runs never dirty a committed record)
+    rec_dir = os.environ.get(
+        "BTD_BENCH_RECORD_DIR", os.path.join(repo, "BENCH")
+    )
+    rec_path = os.path.join(rec_dir, rec_name)
+    with open(rec_path, "w") as f:
         json.dump(out, f, indent=1)
+    rec_ref = (
+        os.path.relpath(rec_path, repo)
+        if rec_path.startswith(repo + os.sep)
+        else rec_path
+    )
 
     def render(n_keep: int) -> str:
         slowest = dict(
@@ -244,7 +255,7 @@ def main() -> None:
                 "extraction_triples_per_sec"
             ],
             "host_calib": calib,
-            "full_record": f"BENCH/{rec_name}",
+            "full_record": rec_ref,
         }
         sp = out.get("scale_probe")
         if isinstance(sp, dict) and "value" in sp:

@@ -387,9 +387,12 @@ def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
     corpus_starts = corpus_model.groupBy("w1").agg(
         F.sum("c12").alias("c1")
     )
-    corpus_vocab = docs.select(
-        F.explode(F.split("text", " ")).alias("_w")
-    ).agg(F.count_distinct("_w").alias("v"))
+    # vocab rides the ALREADY-SPLIT token frame (toks has every doc —
+    # the n>=2 filter applies only to bg), not a second scan+split of
+    # the text column (review finding r4)
+    corpus_vocab = toks.select(F.explode("_t").alias("_w")).agg(
+        F.count_distinct("_w").alias("v")
+    )
 
     tgt = bg.where(F.col("source") == target_source)
     tgt_model = tgt.groupBy("w1", "w2").agg(
@@ -397,8 +400,8 @@ def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
     )
     tgt_starts = tgt_model.groupBy("w1").agg(F.sum("t12").alias("t1"))
     tgt_vocab = (
-        docs.where(F.col("source") == target_source)
-        .select(F.explode(F.split("text", " ")).alias("_w"))
+        toks.where(F.col("source") == target_source)
+        .select(F.explode("_t").alias("_w"))
         .agg(F.count_distinct("_w").alias("tv"))
     )
 

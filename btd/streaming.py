@@ -277,7 +277,19 @@ def zscore_anomaly_stream(
                 columns=["event_id", "user_id", "value", "z", "n_prior"]
             )
             return
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # NULL values neither score nor enter state — the SQL twin's
+        # COUNT(value)/AVG/STDDEV_SAMP all skip NULLs, and one NaN
+        # would otherwise poison the running sums forever
+        pdf = (
+            pdf[pdf["value"].notna()]
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        if not len(pdf):
+            yield pd.DataFrame(
+                columns=["event_id", "user_id", "value", "z", "n_prior"]
+            )
+            return
         v = pdf["value"].astype("float64")
         # prior-frame sums: state + in-batch cumulative shifted by one
         cs = v.cumsum().shift(1, fill_value=0.0) + s0

@@ -12,7 +12,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_prints_one_json_line_with_contract_keys():
+def test_bench_prints_one_json_line_with_contract_keys(tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -20,6 +20,9 @@ def test_bench_prints_one_json_line_with_contract_keys():
         BTD_BENCH_TRIALS="1",
         BTD_BENCH_SCALE_PROBE="0",
         BTD_BENCH_EXTRACT_REPLICAS="2",
+        # keep the test's record out of BENCH/ — committed per-config
+        # records must only change when a real bench run is recorded
+        BTD_BENCH_RECORD_DIR=str(tmp_path),
     )
     r = subprocess.run(
         [sys.executable, "bench.py"],
@@ -48,6 +51,9 @@ def test_bench_prints_one_json_line_with_contract_keys():
     assert d["n_queries"] == len(registry)
     assert d["queries_omitted"] == len(registry) - len(d["queries"])
     assert all(v >= 0 for v in d["queries"].values())
-    full = json.load(open(os.path.join(REPO, d["full_record"])))
+    rec = d["full_record"]
+    full = json.load(
+        open(rec if os.path.isabs(rec) else os.path.join(REPO, rec))
+    )
     assert set(full["queries"]) == registry
     assert all(v >= 0 for v in full["queries"].values())

@@ -194,6 +194,12 @@ def test_lsh_topk_scorer_is_distributed(spark):
     assert "ShuffledHashJoin" not in plan
     join_types = set(re.findall(r"(\w*Join)\b", plan)) - {"Join"}
     assert join_types <= {"BroadcastHashJoin"}, join_types
+    # the allowed broadcast is the one-int-row-per-hot-bucket occupancy
+    # table ONLY — a broadcast that ships the vector payload would pass
+    # the type check while rebuilding the ~90 GB join at scale
+    for blk in re.split(r"\n\(\d+\) ", plan):
+        if blk.startswith("BroadcastExchange"):
+            assert "embedding" not in blk, blk[:300]
 
 
 def test_prefix_filter_jaccard_has_no_cross_product(spark):
@@ -232,6 +238,12 @@ def test_lsh_near_dup_scorer_is_distributed(spark):
     assert "ShuffledHashJoin" not in plan
     join_types = set(re.findall(r"(\w*Join)\b", plan)) - {"Join"}
     assert join_types <= {"BroadcastHashJoin"}, join_types
+    # the allowed broadcast is the one-int-row-per-hot-bucket occupancy
+    # table ONLY — a broadcast that ships the vector payload would pass
+    # the type check while rebuilding the ~90 GB join at scale
+    for blk in re.split(r"\n\(\d+\) ", plan):
+        if blk.startswith("BroadcastExchange"):
+            assert "embedding" not in blk, blk[:300]
 
 
 def test_mix_sources_broadcasts_manifest(spark):

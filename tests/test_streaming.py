@@ -86,3 +86,26 @@ def test_zscore_anomaly_stream_carries_state_across_batches(
     assert [r["event_id"] for r in got] == [9]
     assert got[0]["n_prior"] == 9  # proves batch-1 state reached batch 2
     assert got[0]["z"] > 2
+
+
+def test_zscore_anomaly_stream_skips_null_values(spark, tmp_path):
+    """A NULL value must neither score nor poison the running sums —
+    the SQL twin's aggregates skip NULLs (review finding r4)."""
+    import os
+
+    from btd.streaming import run_to_memory, zscore_anomaly_stream
+
+    d = str(tmp_path / "evn")
+    os.makedirs(d)
+    rows = [(i, f"2024-01-01 00:0{i}:00", 1, 10.0 + (i % 2)) for i in range(8)]
+    rows.append((8, "2024-01-01 00:08:00", 1, None))  # the poison pill
+    rows.append((9, "2024-01-01 01:00:00", 1, 1000.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts_s AS timestamp) AS ts", "user_id", "value")
+    df.coalesce(1).write.parquet(d + "/b1")
+    stream = spark.readStream.schema(df.schema).parquet(d + "/b1")
+    run_to_memory(zscore_anomaly_stream(stream, threshold=2.0), "zs_null")
+    got = spark.sql("SELECT * FROM zs_null").collect()
+    assert [r["event_id"] for r in got] == [9]
+    assert got[0]["n_prior"] == 8  # the NULL did not count
