@@ -252,6 +252,16 @@ def _q_emb_cluster_sample(spark, sf):
     return cluster_sample(_emb(spark, sf), per_cluster=3, n_iter=3)
 
 
+def _q_emb_pq_topk(spark, sf):
+    """PQ-ADC approximate top-k in the gate: database vectors as
+    4×4-bit codes (128x compression vs float64), queries full
+    precision, partition-local table-lookup scoring. The oracle
+    unrolls the identical per-subspace Lloyd + ADC in SQL."""
+    from btd.dataops.similarity import pq_topk
+
+    return pq_topk(_emb(spark, sf), k=3, m=8, n_codes=64, n_iter=3)
+
+
 def _q_emb_recall(spark, sf):
     """ANN quality gate AS an operator: recall@3 of the LSH top-k path
     against the exact baseline, both built lazily and compared in ONE
@@ -589,6 +599,7 @@ def queries_dataops():
         "emb_cosine_near_dup_exact": _q_emb_near_dup_exact,
         "emb_brute_force_topk": _q_emb_brute_topk,
         "emb_recall_at_k": _q_emb_recall,
+        "emb_pq_topk": _q_emb_pq_topk,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_cluster_sample": _q_emb_cluster_sample,
@@ -712,6 +723,97 @@ def _lsh_cand_sql(dim: int, n_tables: int, bits: int, pair_op: str) -> str:
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM buckets a JOIN buckets b USING (bucket)
          WHERE a.vec_id {pair_op} b.vec_id)"""
+
+
+def _pq_topk_sql(
+    dim: int = 64,
+    k: int = 3,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB twin of btd.dataops.similarity.pq_topk: per-subspace
+    Lloyd unrolled as CTEs (assignment score ROUND(dot − ½‖c‖², 6),
+    ties → code index — pq_assign_kernel's exact discretization;
+    centroids are plain means, NOT renormalized; empty codes keep the
+    previous centroid), then ADC = ROUND(Σ_s dot(q_s, c_{code_s}), 6)
+    ranked (adc DESC, id_b ASC). n_codes is a design constant (2^bits),
+    not data-sized, so gate and bench layouts are identical by
+    construction."""
+    sd = dim // m
+
+    def lo(s: int) -> int:
+        return s * sd + 1
+
+    def hi(s: int) -> int:
+        return (s + 1) * sd
+
+    def assign(name: str, book: str, s: int) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cidx FROM (
+    SELECT v.vec_id, cb.cidx,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY ROUND(list_dot_product(v.e[{lo(s)}:{hi(s)}], cb.c)
+                            - 0.5 * list_dot_product(cb.c, cb.c), 6) DESC,
+                      cb.cidx) AS rn
+    FROM v, {book} cb) WHERE rn = 1)"""
+
+    parts = [f"WITH {_COSINE_SQL},"]
+    for s in range(m):
+        parts.append(
+            f"""cb0_{s} AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx,
+         e[{lo(s)}:{hi(s)}] AS c
+  FROM v ORDER BY vec_id LIMIT {n_codes}),"""
+        )
+    for j in range(1, n_iter + 1):
+        i = j - 1
+        for s in range(m):
+            parts.append(assign(f"a{j}_{s}", f"cb{i}_{s}", s) + ",")
+            parts.append(
+                f"""mx{j}_{s} AS (
+  SELECT a.cidx, unnest(range(1, {sd + 1})) AS i,
+         unnest(v.e[{lo(s)}:{hi(s)}]) AS val
+  FROM a{j}_{s} a JOIN v USING (vec_id)),
+mv{j}_{s} AS (
+  SELECT cidx, list(avg_v ORDER BY i) AS me
+  FROM (SELECT cidx, i, AVG(val) AS avg_v FROM mx{j}_{s}
+        GROUP BY cidx, i)
+  GROUP BY cidx),
+cb{j}_{s} AS (
+  SELECT c.cidx, CASE WHEN mv.me IS NULL THEN c.c ELSE mv.me END AS c
+  FROM cb{i}_{s} c LEFT JOIN mv{j}_{s} mv USING (cidx)),"""
+            )
+    for s in range(m):
+        parts.append(assign(f"bk_{s}", f"cb{n_iter}_{s}", s) + ",")
+    joins = " ".join(
+        f"JOIN bk_{s} b{s} USING (vec_id)" for s in range(1, m)
+    )
+    adc = " + ".join(
+        f"list_dot_product(a.e[{lo(s)}:{hi(s)}], c{s}.c)" for s in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN cb{n_iter}_{s} c{s} ON c{s}.cidx = b.cidx_{s}"
+        for s in range(m)
+    )
+    sel = ", ".join(
+        f"b{s}.cidx AS cidx_{s}" if s else "b0.cidx AS cidx_0"
+        for s in range(m)
+    )
+    parts.append(
+        f"""codes AS (SELECT b0.vec_id, {sel} FROM bk_0 b0 {joins}),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({adc}, 6) AS adc
+  FROM v a, codes b {code_joins}
+  WHERE a.vec_id != b.vec_id),
+ranked AS (
+  SELECT id_a, id_b, adc,
+         CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY adc DESC, id_b) AS INTEGER) AS rank
+  FROM scored)
+SELECT id_a, id_b, adc, rank FROM ranked WHERE rank <= {k}"""
+    )
+    return "\n".join(parts)
 
 
 def _brute_topk_sql(k: int) -> str:
@@ -1133,4 +1235,5 @@ def oracle_sql_dataops():
             WHERE id_a < id_b AND cosine >= 0.45""",
         "emb_brute_force_topk": _brute_topk_sql(3),
         "emb_recall_at_k": _recall_sql(3),
+        "emb_pq_topk": _pq_topk_sql(m=8, n_codes=64),
     }

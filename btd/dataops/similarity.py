@@ -871,3 +871,197 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             "avg_recall_at_k"
         ),
     )
+
+
+def pq_assign_kernel(books):
+    """pandas-kernel factory: normalized vector → per-subspace code.
+    Assignment score is ROUND(dot(x_s, c) − ½·dot(c, c), 6) — the
+    L2-argmin rewritten without the ‖x‖² term (constant per row), so
+    both engines rank by the identical rounded quantity; ties break to
+    the smallest code index (np.argmax takes the first maximum, the
+    DuckDB twin orders by (score DESC, cidx)).
+    ``books``: (m, n_codes, sub_dim) numpy."""
+    import numpy as np
+
+    m, n_codes, sd = books.shape
+    half_norms = [0.5 * np.sum(books[s] * books[s], axis=1) for s in range(m)]
+
+    def codes_of(Q):
+        out = np.empty((len(Q), m), dtype=np.int32)
+        for s in range(m):
+            X = Q[:, s * sd:(s + 1) * sd]
+            S = np.round(X @ books[s].T - half_norms[s], 6)
+            out[:, s] = np.argmax(S, axis=1)
+        return out
+
+    return codes_of
+
+
+def pq_train(
+    emb: DataFrame, m: int = 4, n_codes: int = 16, n_iter: int = 3
+):
+    """Per-subspace L2 k-means codebooks over the NORMALIZED vectors —
+    product quantization's training step (Jégou et al., TPAMI 2011;
+    public method). Deterministic like ivf_train: init = the
+    ``n_codes`` smallest vec_ids' subvectors, assignment discretized
+    (pq_assign_kernel), centroids are plain means (NOT renormalized —
+    PQ centroids live inside the subspace ball), empty codes keep the
+    previous centroid.
+
+    Plan per iteration: ONE Arrow-batched code assignment (narrow) +
+    ONE partial-aggregated (subspace, code, position) mean — all m
+    subspaces ride the same exchange (position → subspace is
+    arithmetic, not a per-subspace job). Driver state = m·n_codes·sd
+    doubles (the codebooks), never the corpus.
+
+    Returns (m, n_codes, dim//m) numpy.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    init = emb.orderBy("vec_id").limit(n_codes).collect()
+    N0 = np.array([r.embedding for r in init], dtype=np.float64)
+    N0 /= np.linalg.norm(N0, axis=1, keepdims=True)
+    dim = N0.shape[1]
+    sd = dim // m
+    books = np.stack(
+        [N0[:, s * sd:(s + 1) * sd].copy() for s in range(m)]
+    )
+
+    n = normalized(emb).persist()
+    for _ in range(n_iter):
+        kern = pq_assign_kernel(books)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _codes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for batch in it:
+                Q = np.array(list(batch), dtype=np.float64)
+                yield pd.Series(list(kern(Q)))
+
+        assigned = n.select(
+            "vec_id", "en", _codes(F.col("en")).alias("codes")
+        )
+        means = (
+            assigned.select("codes", F.posexplode("en").alias("pos", "val"))
+            .select(
+                (F.col("pos") / sd).cast("int").alias("s"),
+                F.element_at(
+                    "codes", (F.col("pos") / sd).cast("int") + 1
+                ).alias("code"),
+                (F.col("pos") % sd).alias("i"),
+                "val",
+            )
+            .groupBy("s", "code", "i")
+            .agg(F.avg("val").alias("mv"))
+            .collect()
+        )
+        new = books.copy()  # empty codes keep their previous centroid
+        got = np.zeros((m, n_codes), dtype=bool)
+        tmp = np.zeros_like(books)
+        for r in means:
+            tmp[r.s, r.code, r.i] = r.mv
+            got[r.s, r.code] = True
+        new[got] = tmp[got]
+        books = new
+    n.unpersist()
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, adc, rank): approximate top-k by PQ asymmetric
+    distance computation — each DATABASE vector is stored as m small
+    codes (here 4 bytes vs 512: the 128× memory compression that lets
+    a 10⁹-vector index live in RAM), each QUERY stays full-precision,
+    and the score is the sum of per-subspace query×centroid dot
+    products looked up by code.
+
+    Scoring is partition-local over the CODES table: per Arrow batch,
+    the kernel builds the m query×centroid tables once, gathers by
+    code (pure numpy indexing — no per-pair dot products), keeps the
+    per-query local top-k under the global order (adc DESC, id_b ASC),
+    and the final window reduces the per-partition supersets — the
+    same local-superset argument as _bucket_local_pairs. Queries ride
+    as ONE broadcast of the normalized matrix (the documented
+    blas-side ceiling, ~10⁷×10² — this op is the SCORING kernel; at
+    10⁹ vectors you feed it IVF-bucketed candidates instead of the
+    whole code table, and the codes themselves are what make those
+    buckets cheap to hold).
+
+    Recall caveat, measured: the synthetic gate embeddings are
+    ISOTROPIC noise — PQ's adversarial case (quantization exploits
+    correlation structure, and there is none) — so recall@3 vs exact
+    is 0.35 at the gated m=8/64-code layout (0.53 at m=16; floor
+    pytest-asserted in test_similarity_equiv). Real embedding
+    manifolds quantize far better; the contract here is the
+    exact-oracle-verified compression+ADC kernel with recall MEASURED
+    (the recall_at_k machinery), not assumed.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    books = pq_train(emb, m=m, n_codes=n_codes, n_iter=n_iter)
+    n = normalized(emb)
+    kern = pq_assign_kernel(books)
+
+    sc = emb.sparkSession.sparkContext
+    rows = n.orderBy("vec_id").collect()
+    q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    Q = np.array([r.en for r in rows], dtype=np.float64)
+    b_qids, b_q, b_books = (
+        sc.broadcast(q_ids), sc.broadcast(Q), sc.broadcast(books)
+    )
+    sd = Q.shape[1] // m
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _codes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            X = np.array(list(batch), dtype=np.float64)
+            yield pd.Series(list(kern(X)))
+
+    bk = n.select("vec_id", _codes(F.col("en")).alias("codes"))
+
+    out_schema = "id_a long, id_b long, adc double"
+
+    def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, Qm, B = b_qids.value, b_q.value, b_books.value
+        # per-subspace query×centroid tables, built once per task
+        T_s = [Qm[:, s * sd:(s + 1) * sd] @ B[s].T for s in range(m)]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids_b)  # id_b ASC for the tie-break
+            ids_b = ids_b[order]
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)[order]
+            S = T_s[0][:, codes[:, 0]]
+            for s in range(1, m):
+                S = S + T_s[s][:, codes[:, s]]
+            S = np.round(S, 6)
+            S[np.equal.outer(ids_q, ids_b)] = -np.inf  # exclude self
+            kk = min(k, S.shape[1])
+            # stable partial sort: adc DESC then id_b ASC (ids sorted)
+            top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            rows_a = np.repeat(ids_q, kk)
+            rows_b = ids_b[top.ravel()]
+            vals = np.take_along_axis(S, top, axis=1).ravel()
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {"id_a": rows_a[keep], "id_b": rows_b[keep], "adc": vals[keep]}
+            )
+
+    local = bk.mapInPandas(score, out_schema)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("adc").desc(), F.col("id_b").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "adc", F.col("rank").cast("int"))
+    )

@@ -274,3 +274,20 @@ def test_recall_at_k_identity_and_miss(spark):
     part = recall_at_k(approx, exact, k=2).collect()[0]
     # query 1 recovered 1 of 2; query 2 missed entirely -> (0.5+0)/2
     assert part["n_queries"] == 2 and part["avg_recall_at_k"] == 0.25
+
+
+def test_pq_topk_recall_floor_and_parity_shape(spark):
+    """PQ-ADC on the isotropic gate corpus (PQ's adversarial case —
+    no correlation structure to exploit): recall@3 vs exact must hold
+    the measured floor at the gated layout, and every query must get
+    exactly k rows ranked 1..k."""
+    from btd.dataops.similarity import blas_topk, pq_topk, recall_at_k
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    pq = pq_topk(emb, k=3, m=8, n_codes=64, n_iter=3)
+    per_q = pq.groupBy("id_a").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
+    r = recall_at_k(pq, blas_topk(emb, 3), k=3).collect()[0]
+    assert r["avg_recall_at_k"] >= 0.25, r
