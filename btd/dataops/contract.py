@@ -254,9 +254,9 @@ def _q_emb_cluster_sample(spark, sf):
 
 def _q_emb_pq_topk(spark, sf):
     """PQ-ADC approximate top-k in the gate: database vectors as
-    4×4-bit codes (128x compression vs float64), queries full
-    precision, partition-local table-lookup scoring. The oracle
-    unrolls the identical per-subspace Lloyd + ADC in SQL."""
+    8 six-bit codes (85x compression vs the 512-byte float64 vector),
+    queries full precision, partition-local table-lookup scoring. The
+    oracle unrolls the identical per-subspace Lloyd + ADC in SQL."""
     from btd.dataops.similarity import pq_topk
 
     return pq_topk(_emb(spark, sf), k=3, m=8, n_codes=64, n_iter=3)

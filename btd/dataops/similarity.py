@@ -898,7 +898,11 @@ def pq_assign_kernel(books):
 
 
 def pq_train(
-    emb: DataFrame, m: int = 4, n_codes: int = 16, n_iter: int = 3
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    n: DataFrame | None = None,
 ):
     """Per-subspace L2 k-means codebooks over the NORMALIZED vectors —
     product quantization's training step (Jégou et al., TPAMI 2011;
@@ -923,12 +927,18 @@ def pq_train(
     N0 = np.array([r.embedding for r in init], dtype=np.float64)
     N0 /= np.linalg.norm(N0, axis=1, keepdims=True)
     dim = N0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sd = dim // m
     books = np.stack(
         [N0[:, s * sd:(s + 1) * sd].copy() for s in range(m)]
     )
 
-    n = normalized(emb).persist()
+    # caller may hand in an already-persisted normalized frame so the
+    # scan+normalize subtree runs ONCE across train + encode + score
+    owns_n = n is None
+    if owns_n:
+        n = normalized(emb).persist()
     for _ in range(n_iter):
         kern = pq_assign_kernel(books)
 
@@ -963,7 +973,8 @@ def pq_train(
             got[r.s, r.code] = True
         new[got] = tmp[got]
         books = new
-    n.unpersist()
+    if owns_n:
+        n.unpersist()
     return books
 
 
@@ -1006,8 +1017,10 @@ def pq_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    books = pq_train(emb, m=m, n_codes=n_codes, n_iter=n_iter)
-    n = normalized(emb)
+    # one persisted normalize feeds training, the query broadcast, and
+    # the code encoding — not three separate scan+normalize passes
+    n = normalized(emb).persist()
+    books = pq_train(emb, m=m, n_codes=n_codes, n_iter=n_iter, n=n)
     kern = pq_assign_kernel(books)
 
     sc = emb.sparkSession.sparkContext

@@ -276,16 +276,13 @@ def test_recall_at_k_identity_and_miss(spark):
     assert part["n_queries"] == 2 and part["avg_recall_at_k"] == 0.25
 
 
-def test_pq_topk_recall_floor_and_parity_shape(spark):
+def test_pq_topk_recall_floor_and_parity_shape(spark, emb):
     """PQ-ADC on the isotropic gate corpus (PQ's adversarial case —
     no correlation structure to exploit): recall@3 vs exact must hold
     the measured floor at the gated layout, and every query must get
     exactly k rows ranked 1..k."""
-    from btd.dataops.similarity import blas_topk, pq_topk, recall_at_k
+    from btd.dataops.similarity import pq_topk, recall_at_k
 
-    emb = spark.read.parquet(
-        "/root/testdata/sf0.001/embeddings.parquet"
-    ).select("vec_id", "embedding")
     pq = pq_topk(emb, k=3, m=8, n_codes=64, n_iter=3)
     per_q = pq.groupBy("id_a").count().collect()
     assert all(r["count"] == 3 for r in per_q)
