@@ -104,6 +104,18 @@ def _q_dedup_groups(spark, sf):
     return near_dup_groups(docs_with_dups(spark, sf), 0.5)
 
 
+def _q_winnow_near_dup(spark, sf):
+    """MOSS-style partial-overlap pairs over the planted corpus: the
+    near-copies (first word dropped) share long token runs with their
+    originals, so winnowing's covering property guarantees shared
+    fingerprints even where whole-doc Jaccard would be diluted."""
+    from btd.dataops.dedup import winnow_near_dup
+
+    return winnow_near_dup(
+        docs_with_dups(spark, sf), k=3, window=4, min_shared=2
+    )
+
+
 def _q_token_stats(spark, sf):
     return token_stats(_docs(spark, sf))
 
@@ -590,6 +602,7 @@ def queries_dataops():
         "doc_minhash_near_dup": _q_minhash_near_dup,
         "doc_simhash_near_dup": _q_simhash_near_dup,
         "doc_dedup_groups": _q_dedup_groups,
+        "doc_winnow_near_dup": _q_winnow_near_dup,
         "doc_token_stats": _q_token_stats,
         "doc_quality_scores": _q_quality,
         "doc_language_id": _q_lang_id,
@@ -1236,4 +1249,26 @@ def oracle_sql_dataops():
         "emb_brute_force_topk": _brute_topk_sql(3),
         "emb_recall_at_k": _recall_sql(3),
         "emb_pq_topk": _pq_topk_sql(m=8, n_codes=64),
+        "doc_winnow_near_dup": f"""
+            WITH docs_plus AS ({DOCS_PLUS_SQL}),
+            t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM docs_plus),
+            pos AS (SELECT doc_id, tk,
+                           unnest(range(1, len(tk) - 1)) AS i
+                    FROM t),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(tk[i:i+2], ' ')) AS h
+                      FROM pos),
+            wins AS (SELECT doc_id, i,
+                            MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN 3 PRECEDING
+                                                  AND CURRENT ROW) AS fp
+                     FROM grams),
+            wf AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM wf a JOIN wf b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2""",
     }

@@ -364,3 +364,45 @@ def auto_band_size(
         if best is None or d < best[0]:
             best = (d, r, b)
     return best[1], best[2]
+
+
+def winnow_near_dup(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_shared): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — MOSS's match step, the
+    LOCAL-overlap detector the dedup family otherwise lacks: a shared
+    ≥ k+window-1 token run inside two otherwise-different documents is
+    GUARANTEED to share a fingerprint here (winnowing's covering
+    property) but is invisible to whole-document MinHash at any
+    realistic Jaccard threshold (the run is diluted by the rest of
+    both documents). Plagiarism, quotation, and boilerplate-block
+    detection at corpus scale.
+
+    Pure composition: winnow_fingerprints (one bounded-frame window +
+    a distinct) feeding basket_cooccurrence with the roles flipped —
+    basket = fingerprint, item = doc_id — so pair volume is
+    Σ df(fp)² over fingerprint document-frequencies, and a
+    boilerplate fingerprint shared by half the corpus is exactly the
+    mega-basket ``max_fp_df`` purges before pairing (near-zero signal,
+    quadratic cost — the same judgment as stopword lists).
+    """
+    from btd.analytics.cooccur import basket_cooccurrence
+    from btd.dataops.textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs, k=k, window=window)
+    return basket_cooccurrence(
+        fp,
+        basket="fp",
+        item="doc_id",
+        min_shared=min_shared,
+        max_basket_size=max_fp_df,
+    ).select(
+        F.col("item_a").alias("doc_id_a"),
+        F.col("item_b").alias("doc_id_b"),
+        F.col("n_baskets").alias("n_shared"),
+    )

@@ -206,3 +206,25 @@ def test_winnow_fingerprints_guarantee_and_short_docs(spark):
     assert by_doc["d1"] & by_doc["d2"], "shared run must share a fingerprint"
     assert not (by_doc["d1"] & by_doc["d3"])
     assert "d4" not in by_doc
+
+
+def test_winnow_near_dup_catches_partial_overlap_minhash_misses(spark):
+    """A shared 8-token run inside two long otherwise-different docs:
+    Jaccard over full shingle sets is tiny (MinHash at 0.5 misses it)
+    but winnowing's covering property guarantees shared fingerprints."""
+    from btd.dataops.dedup import minhash_near_dup, winnow_near_dup
+
+    shared = "the quick brown fox jumps over lazy dogs"
+    filler_a = " ".join(f"alpha{i}" for i in range(40))
+    filler_b = " ".join(f"beta{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, f"{filler_a} {shared}"), (2, f"{shared} {filler_b}"),
+         (3, " ".join(f"gamma{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    pairs = winnow_near_dup(docs, k=3, window=4, min_shared=2).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["n_shared"] >= 2
+    # the same pair is invisible to whole-document MinHash at 0.5
+    mh = minhash_near_dup(docs, 0.5).collect()
+    assert not any({r[0], r[1]} == {1, 2} for r in mh)
