@@ -428,6 +428,25 @@ def _q_ev_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ev_profile_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """profile_table's documented 100 TB mode: approx_count_distinct
+    (HLL++, one pass, no Expand replication) instead of exact
+    count_distinct. Gated EXACTLY: the profiled columns' gate-corpus
+    cardinalities (user_id 150, event_type 5, props 100) sit far below
+    rsd=0.002's register count, where the deterministic HLL++ estimate
+    lands exact (measured at sf0.01: 150/5/100 on the nose) — the same
+    trick ref_distinct_contexts_hll uses, so the oracle's exact
+    COUNT(DISTINCT) is a true pass/fail."""
+    from btd.quality import profile_table
+
+    return profile_table(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        ["user_id", "event_type", "props"],
+        exact=False,
+        rsd=0.002,
+    )
+
+
 def _q_kg_fk_check(spark: SparkSession, sf: str) -> DataFrame:
     """Constraint report over the star schema: two referential checks
     (anti-joins — clean on this data, the zeros are the assertion) and
@@ -1091,16 +1110,38 @@ def queries() -> dict[str, QueryFn]:
     """Query registry. ORDER MATTERS: the driver's correctness gate grades the
     FIRST 50 entries in insertion order, so slots 1-50 are reserved for queries
     that need a fresh hard-signal row (never graded, or code rewritten since
-    their last green row). Round 4 rotation: slots 1-36 are the 36 queries with
-    no CORRECTNESS_r03 row (the rewritten bucket-local emb_* ANN/dedup block
-    first); slots 37-43 re-grade queries touched or regressed in r03; 44-49
-    are the six new r4 schema-mining/anomaly ops. The permanently-stable
-    ref_*/stream_*/ev_* greens rotate to the tail, along with the late-r4
-    additions (doc_dsir, kg_temporal_triples, doc_winnow_fingerprints,
-    kg_entity_cooccur, emb_recall_at_k, stream_anomaly) that queue for the r5
-    window — tests/test_oracle_parity.py still covers the full registry (98)."""
+    their last green row). Round 5 rotation: slots 1-2 are ev_profile (r04's
+    one red row — min/max rendering made engine-neutral) and the new
+    ev_profile_approx HLL gate; 3-11 the nine stale-signal queries the r4
+    verdict flagged (8 never-graded late-r4 ops + stream_sessionize, whose
+    green predated its NULL-safe state fix); the rest re-grade every query
+    whose module was touched this round (similarity.py — the bucketed pq_topk
+    rewrite — so all emb_*; streaming.py — stable expanding moments — so all
+    stream_*; graph.py — pagerank early-exit — so kg_pagerank/khop/triangles;
+    quality.py/materialize.py → kg_fk_check/kg_upsert) plus the oldest
+    untouched r03 greens (kg_* graph/extract block, ref_* analyses) so every
+    row in CORRECTNESS_r05 is at-current-code. The r04-green untouched doc_*
+    dataops and ev_* batch suites rotate to the tail —
+    tests/test_oracle_parity.py still covers the full registry (count asserted
+    at runtime, not here)."""
     head = {
-        # --- rewritten in r3 (bucket-local scoring, similarity.py) — top priority
+        # --- r04's one red row, now engine-neutral + its new HLL twin
+        "ev_profile": _q_ev_profile,
+        "ev_profile_approx": _q_ev_profile_approx,
+        # --- the 9 stale-signal queries (verdict item 2)
+        "emb_pq_topk": None,
+        "emb_recall_at_k": None,
+        "doc_dsir": _q_doc_dsir,
+        "doc_winnow_fingerprints": _q_doc_winnow,
+        "doc_winnow_near_dup": None,
+        "kg_temporal_triples": _q_kg_temporal_triples,
+        "kg_entity_cooccur": _q_kg_entity_cooccur,
+        "stream_anomaly": _q_stream_anomaly,
+        "stream_sessionize": _q_stream_sessionize,
+        # --- modules touched in r5: every query through them re-grades
+        "kg_upsert": _q_kg_upsert,
+        "kg_pagerank": None,
+        "kg_fk_check": _q_kg_fk_check,
         "emb_lsh_topk": None,
         "emb_ivf_topk": None,
         "emb_cosine_near_dup": None,
@@ -1108,65 +1149,16 @@ def queries() -> dict[str, QueryFn]:
         "emb_cluster_sample": None,
         "emb_cosine_near_dup_exact": None,
         "emb_brute_force_topk": None,
-        # --- never driver-graded
-        "doc_tfidf": None,
-        "doc_lm_score": None,
-        "doc_postings": _q_doc_postings,
-        "doc_repetition": None,
-        "doc_resize": None,
-        "doc_scrub_pii": None,
-        "doc_stratified_sample": None,
-        "doc_mix": None,
-        "ev_moving_avg": _q_ev_moving_avg,
-        "ev_hopping": _q_ev_hopping,
-        "ev_profile": _q_ev_profile,
-        "kg_fk_check": _q_kg_fk_check,
-        "kg_upsert": _q_kg_upsert,
-        # --- r01/r02-stale dataops block (no r03 row)
-        "doc_exact_dedup": None,
-        "doc_minhash_near_dup": None,
-        "doc_simhash_near_dup": None,
-        "doc_ngram_jaccard": None,
-        "doc_dedup_groups": None,
-        "doc_token_stats": None,
-        "doc_quality_scores": None,
-        "doc_language_id": None,
-        "doc_fingerprints": None,
-        "doc_curation": None,
-        "doc_sample": None,
-        "doc_media_features": None,
-        "doc_frame_sample": None,
-        "doc_decontaminate": None,
-        "doc_chunk": None,
-        "kg_pagerank": None,
-        # --- slots 37-50: re-grade (r03 perf watch items / code touched in r4)
-        "kg_entities": _q_kg_entities,
-        "kg_same_as": _q_kg_same_as,
-        "kg_components": _q_kg_components,
-        "kg_components_star": _q_kg_components_star,
-        "ev_funnel": _q_ev_funnel,
-        "ev_asof_join": _q_ev_asof_join,
-        "ev_range_count": _q_ev_range_count,
-        # --- new in r4 (never graded): schema mining / hygiene / anomaly ops
-        "kg_ontology_stats": _q_kg_ontology_stats,
-        "kg_type_infer": _q_kg_type_infer,
-        "kg_conflict_resolve": _q_kg_conflict_resolve,
-        "kg_two_hop_reach": _q_kg_two_hop_reach,
-        "doc_heavy_hitters": _q_doc_heavy_hitters,
-        "ev_anomaly": _q_ev_anomaly,
-        "ref_parse_roundtrip": _q_parse_roundtrip,
-    }
-    tail = {
-        # new in r4 AFTER the graded window filled — covered by
-        # tests/test_oracle_parity.py now, rotates into the window in r5
-        "doc_dsir": _q_doc_dsir,
-        "kg_temporal_triples": _q_kg_temporal_triples,
-        "doc_winnow_fingerprints": _q_doc_winnow,
-        "kg_entity_cooccur": _q_kg_entity_cooccur,
-        # r03-green and untouched since — rotated out of the graded
-        # window in favor of the six r4 additions above
+        "stream_extract_triples": _q_stream_extract,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_hopping": _q_stream_hopping,
+        "stream_dedup": _q_stream_dedup,
+        "stream_enrich": _q_stream_enrich,
+        "stream_join": _q_stream_join,
         "kg_khop": _q_kg_khop,
         "kg_triangles": _q_kg_triangles,
+        # --- oldest greens (r03, code untouched since): refresh to
+        # current-code rows so no signal in CORRECTNESS_r05 is stale
         "kg_copurchase": _q_kg_copurchase,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_adamic_adar": _q_kg_adamic_adar,
@@ -1176,6 +1168,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_extract_windowed": _q_kg_extract_windowed,
         "kg_mentions": _q_kg_mentions,
         "kg_outdegree_histogram": _q_kg_outdegree_hist,
+        "kg_turn_integrity": _q_kg_turn_integrity,
         "ref_distinct_subjects": _q_distinct,
         "ref_distinct_spo_counts": _q_distinct_spo,
         "ref_outdegree_histogram": _q_outdegree_hist,
@@ -1187,20 +1180,31 @@ def queries() -> dict[str, QueryFn]:
         "ref_distinct_contexts_hll": _q_distinct_contexts_hll,
         "ref_outdegree_histogram_salted": _q_outdegree_hist_salted,
         "ref_top_contexts": _q_top_contexts,
+    }
+    tail = {
+        # r03/r04-green and code-untouched this round
         "ref_dedup": _q_dedup,
         "ref_percentages_compat": _q_percentages_compat,
         "ref_parse_metrics": _q_parse_metrics,
+        "ref_parse_roundtrip": _q_parse_roundtrip,
         "ref_text_sink_roundtrip": _q_text_sink_roundtrip,
         "ref_gzip_sink_roundtrip": _q_gzip_sink_roundtrip,
-        "kg_turn_integrity": _q_kg_turn_integrity,
-        "stream_extract_triples": _q_stream_extract,
-        "stream_windowed_counts": _q_stream_windowed_counts,
-        "stream_hopping": _q_stream_hopping,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_dedup": _q_stream_dedup,
-        "stream_enrich": _q_stream_enrich,
-        "stream_join": _q_stream_join,
-        "stream_anomaly": _q_stream_anomaly,
+        "kg_entities": _q_kg_entities,
+        "kg_same_as": _q_kg_same_as,
+        "kg_components": _q_kg_components,
+        "kg_components_star": _q_kg_components_star,
+        "kg_ontology_stats": _q_kg_ontology_stats,
+        "kg_type_infer": _q_kg_type_infer,
+        "kg_conflict_resolve": _q_kg_conflict_resolve,
+        "kg_two_hop_reach": _q_kg_two_hop_reach,
+        "doc_heavy_hitters": _q_doc_heavy_hitters,
+        "doc_postings": _q_doc_postings,
+        "ev_anomaly": _q_ev_anomaly,
+        "ev_funnel": _q_ev_funnel,
+        "ev_asof_join": _q_ev_asof_join,
+        "ev_range_count": _q_ev_range_count,
+        "ev_moving_avg": _q_ev_moving_avg,
+        "ev_hopping": _q_ev_hopping,
         "ev_sessionize": _q_ev_sessionize,
         "ev_rollup": _q_ev_rollup,
         "ev_quantiles": _q_ev_quantiles,
@@ -1513,21 +1517,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON da.i = na
             JOIN deg db ON db.i = nb
             WHERE ROUND(n_common / (da.d + db.d - n_common), 6) >= 0.5""",
+        # numeric columns profile NUMERICALLY (typed min/max, then an
+        # engine-neutral rendering: ints plain cast, doubles fixed
+        # %.6f after ROUND(,6)+0.0) — lexicographic min/max of
+        # stringified numbers was both wrong and engine-unstable
+        # (Spark 1.0E-4 vs DuckDB 0.0001 — the r04 hash miss)
         "ev_profile": """
             SELECT 'event_id' AS "column",
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_nulls,
                    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
-                   MIN(CAST(event_id AS VARCHAR)) AS min_value,
-                   MAX(CAST(event_id AS VARCHAR)) AS max_value
+                   CAST(MIN(event_id) AS VARCHAR) AS min_value,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_value
             FROM events
             UNION ALL
             SELECT 'user_id', COUNT(*),
                    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
                    COUNT(DISTINCT user_id),
-                   MIN(CAST(user_id AS VARCHAR)),
-                   MAX(CAST(user_id AS VARCHAR))
+                   CAST(MIN(user_id) AS VARCHAR),
+                   CAST(MAX(user_id) AS VARCHAR)
             FROM events
             UNION ALL
             SELECT 'event_type', COUNT(*),
@@ -1539,8 +1548,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', COUNT(*),
                    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
                    COUNT(DISTINCT value),
-                   MIN(CAST(value AS VARCHAR)),
-                   MAX(CAST(value AS VARCHAR))
+                   printf('%.6f', ROUND(MIN(value), 6) + 0.0),
+                   printf('%.6f', ROUND(MAX(value), 6) + 0.0)
+            FROM events
+            UNION ALL
+            SELECT 'props', COUNT(*),
+                   SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT props),
+                   MIN(props), MAX(props)
+            FROM events""",
+        # exact COUNT(DISTINCT) oracle for the HLL++ path: on the gate
+        # corpus these columns' cardinalities (150/5/100) sit in HLL++'s
+        # deterministic-exact linear-counting range — same trick as
+        # ref_distinct_contexts_hll, so the hash gate is a true
+        # pass/fail, not a tolerance
+        "ev_profile_approx": """
+            SELECT 'user_id' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(user_id) AS VARCHAR) AS min_value,
+                   CAST(MAX(user_id) AS VARCHAR) AS max_value
+            FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*),
+                   SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT event_type),
+                   MIN(event_type), MAX(event_type)
             FROM events
             UNION ALL
             SELECT 'props', COUNT(*),

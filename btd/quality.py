@@ -14,11 +14,26 @@ from pyspark.sql import functions as F
 
 
 def profile_table(
-    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_value, max_value):
     one row per profiled column, min/max rendered as strings so the
     long format is schema-stable across column types.
+
+    Numeric columns are profiled NUMERICALLY (typed min/max, then
+    rendered) — lexicographic min/max of stringified numbers is both
+    semantically wrong ("10" < "9") and engine-unstable (Java's
+    shortest-round-trip Double.toString vs DuckDB's float formatting
+    diverge on scientific-notation thresholds, e.g. 1.0E-4 vs 0.0001,
+    which then shifts the lexicographic extremes). Fractional values
+    render with a fixed ``%.6f`` format after ROUND(,6) (+0.0 kills
+    the -0.0 class), integers via plain cast — both render
+    identically in Spark and DuckDB. Non-numeric columns keep the
+    cast-then-min lexicographic contract (order-preserving for ISO
+    timestamps/dates; the only option for maps/arrays).
 
     ONE aggregation pass over the table. ``exact=True`` uses
     count_distinct — Catalyst compiles multiple distinct aggregates
@@ -28,15 +43,37 @@ def profile_table(
     are then estimates, everything else stays exact. The single
     result row pivots to long form with stack(), driver-free.
     """
+    from pyspark.sql.types import FractionalType, NumericType
+
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
-    cd = F.count_distinct if exact else F.approx_count_distinct
+    # rsd applies to the HLL++ path only; estimates are deterministic
+    # (fixed hash, no RNG), and at cardinalities far below the register
+    # count they land exact — tighter rsd widens that regime (measured:
+    # rsd 0.002 is exact through ~150 distinct; the gate leans on this)
+    cd = (
+        F.count_distinct
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
+
+    def _rendered(agg_fn, c):
+        dt = df.schema[c].dataType
+        if isinstance(dt, FractionalType):
+            v = F.round(agg_fn(F.col(c)), 6) + F.lit(0.0)
+            # NULL-guard: format_string("%.6f", NULL) is not NULL-safe
+            # across engines; an all-NULL column must profile to NULL
+            return F.when(v.isNotNull(), F.format_string("%.6f", v))
+        if isinstance(dt, NumericType):
+            return agg_fn(F.col(c)).cast("string")
+        return agg_fn(F.col(c).cast("string"))
+
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
             cd(F.col(c)).alias(f"_nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"_mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"_mx_{c}"),
+            _rendered(F.min, c).alias(f"_mn_{c}"),
+            _rendered(F.max, c).alias(f"_mx_{c}"),
         ]
     one = df.agg(*aggs)
     stack = ", ".join(

@@ -160,6 +160,28 @@ def test_profile_table_values(spark):
     assert approx == {"k": 2, "s": 2}
 
 
+def test_profile_table_numeric_rendering(spark):
+    """Numeric columns profile numerically (not lexicographically) and
+    render engine-neutrally: ints plain cast, doubles fixed %.6f after
+    ROUND(,6) — the r04 ev_profile hash miss was Java shortest-round-
+    trip vs DuckDB float formatting diverging (1.0E-4 vs 0.0001)."""
+    from btd.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(9, 0.0001, None), (10, 490.02, None), (11, None, None)],
+        "k long, v double, w double",
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    # numeric min/max: lexicographic would say min="10", max="9"
+    assert (got["k"].min_value, got["k"].max_value) == ("9", "11")
+    # fixed decimals, no scientific notation, no shortest-round-trip
+    assert (got["v"].min_value, got["v"].max_value) == (
+        "0.000100", "490.020000"
+    )
+    # all-NULL fractional column profiles to NULL, not "null"
+    assert got["w"].min_value is None and got["w"].max_value is None
+
+
 def test_fk_violations_and_nulls(spark):
     from btd.quality import fk_violations
 
