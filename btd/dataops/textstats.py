@@ -364,6 +364,18 @@ def dsir_weights(docs: DataFrame, target_source: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.split("text", " ").alias("_t")
     ).withColumn("_n", F.size("_t"))
+    # fail fast on an empty target slice: tv would be 0, making the
+    # target denominator 0 — log(x/0) is inf/NULL (or an ANSI error),
+    # which would silently poison every weight instead of pointing at
+    # the actual mistake (a typo'd source name). One limit(1) probe on
+    # a pushed-down predicate, paid once at call time.
+    if (
+        docs.where(F.col("source") == target_source).limit(1).count() == 0
+    ):
+        raise ValueError(
+            f"dsir_weights: no documents with source={target_source!r} — "
+            "the target bigram model would be empty (vocab 0)"
+        )
     bg = (
         toks.where(F.col("_n") >= 2)
         .select(

@@ -141,7 +141,7 @@ def upsert(
     against the input schema.
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     cols = existing.columns
     if set(cols) != set(updates.columns):
@@ -154,10 +154,20 @@ def upsert(
     tagged = updates.select(*cols).withColumn(
         pri, F.lit(0)
     ).unionByName(existing.select(*cols).withColumn(pri, F.lit(1)))
+
+    def _has_map(dt) -> bool:
+        # a map NESTED in an array/struct is just as unorderable as a
+        # top-level one — ORDER BY raises AnalysisException either way
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
     unorderable = {
-        f.name
-        for f in existing.schema.fields
-        if isinstance(f.dataType, MapType)
+        f.name for f in existing.schema.fields if _has_map(f.dataType)
     }
     rest = [
         F.col(c) for c in cols if c not in keys and c not in unorderable

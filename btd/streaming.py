@@ -247,16 +247,21 @@ def zscore_anomaly_stream(
     fraud monitor raises the moment the spike arrives, not at window
     close.
 
-    State per user = (n, Σv, Σv²): three scalars, so state size is
-    O(users), never O(events) — the bound that lets this run forever.
-    Per batch the expanding stats are vectorized (cumsum seeded from
-    state, shifted one row for the PRIOR frame); no per-row Python.
-    Σv² cancellation sits ~8 orders below the ROUND(,6) step at this
-    data's magnitudes; the exact SQL twin is an expanding window
-    (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) with the same
-    n≥2 / s>0 guards. Cross-batch determinism needs batches arriving
-    in event-time order per user (one micro-batch for the gate's
-    static replay — same caveat as sessionize_stream).
+    State per user = true Welford moments (n, mean, M2): three scalars,
+    so state size is O(users), never O(events) — the bound that lets
+    this run forever. Per batch the expanding stats are vectorized as
+    SHIFTED-ORIGIN cumulative sums (origin K = the running mean, so the
+    summed terms are O(deviation²), not O(value²) — the naive Σv²
+    formulation's catastrophic cancellation at large magnitudes could
+    yield a tiny positive variance where the oracle's stable
+    STDDEV_SAMP is exactly 0, flipping the var>0 emission predicate;
+    with the shift, an all-constant history gives var = 0 EXACTLY),
+    shifted one row for the PRIOR frame; no per-row Python. The exact
+    SQL twin is an expanding window (ROWS UNBOUNDED PRECEDING AND
+    1 PRECEDING) with the same n≥2 / s>0 guards. Cross-batch
+    determinism needs batches arriving in event-time order per user
+    (one micro-batch for the gate's static replay — same caveat as
+    sessionize_stream).
     """
     import numpy as np
     import pandas as pd
@@ -266,11 +271,11 @@ def zscore_anomaly_stream(
         "event_id long, user_id long, value double, z double, "
         "n_prior long"
     )
-    state_schema = "n long, s double, ss double"
+    state_schema = "n long, mean double, m2 double"
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        n0, s0, ss0 = state.get if state.exists else (0, 0.0, 0.0)
+        n0, mean0, m20 = state.get if state.exists else (0, 0.0, 0.0)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if not len(pdf):
             yield pd.DataFrame(
@@ -279,7 +284,7 @@ def zscore_anomaly_stream(
             return
         # NULL values neither score nor enter state — the SQL twin's
         # COUNT(value)/AVG/STDDEV_SAMP all skip NULLs, and one NaN
-        # would otherwise poison the running sums forever
+        # would otherwise poison the running moments forever
         pdf = (
             pdf[pdf["value"].notna()]
             .sort_values(["ts", "event_id"])
@@ -290,13 +295,21 @@ def zscore_anomaly_stream(
                 columns=["event_id", "user_id", "value", "z", "n_prior"]
             )
             return
-        v = pdf["value"].astype("float64")
-        # prior-frame sums: state + in-batch cumulative shifted by one
-        cs = v.cumsum().shift(1, fill_value=0.0) + s0
-        css = (v * v).cumsum().shift(1, fill_value=0.0) + ss0
+        v = pdf["value"].astype("float64").to_numpy()
+        # shift the origin to the running mean (first value for a new
+        # user): the cumulants below are then sums of O(deviation)
+        # terms — Welford-equivalent stability, still fully vectorized
+        K = mean0 if n0 > 0 else v[0]
+        d = v - K
+        # prior-frame cumulants: state re-centered to K + in-batch
+        # cumulative shifted by one row
+        cs0 = n0 * (mean0 - K)
+        css0 = m20 + n0 * (mean0 - K) ** 2
+        cs = np.concatenate(([0.0], np.cumsum(d)[:-1])) + cs0
+        css = np.concatenate(([0.0], np.cumsum(d * d)[:-1])) + css0
         n = np.arange(len(v), dtype="int64") + n0
         with np.errstate(divide="ignore", invalid="ignore"):
-            mean = cs / n
+            mean = cs / n + K
             var = (css - cs * cs / n) / (n - 1)
             z = (v - mean) / np.sqrt(var)
         ok = (n >= 2) & (var > 0) & (np.abs(z) > threshold)
@@ -309,9 +322,13 @@ def zscore_anomaly_stream(
                 "n_prior": n[ok],
             }
         )
-        state.update(
-            (int(n0 + len(v)), float(s0 + v.sum()), float(ss0 + (v * v).sum()))
-        )
+        # fold the batch into true Welford state (n, mean, M2)
+        nT = n0 + len(v)
+        csT = cs0 + d.sum()
+        cssT = css0 + (d * d).sum()
+        meanT = csT / nT + K
+        m2T = cssT - csT * csT / nT
+        state.update((int(nT), float(meanT), float(m2T)))
         yield out
 
     return events.groupBy("user_id").applyInPandasWithState(

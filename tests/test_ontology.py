@@ -156,6 +156,22 @@ def test_dsir_weights_tilt_toward_target_domain(spark):
     assert w["o2"] > w["o1"]  # weight follows TEXT, not the source label
 
 
+def test_dsir_weights_empty_target_raises(spark):
+    """A target_source matching no documents must fail fast with a
+    clear error, not emit inf/NULL weights from a 0 denominator
+    (r4 advice)."""
+    import pytest
+
+    from btd.dataops.textstats import dsir_weights
+
+    docs = spark.createDataFrame(
+        [("t1", "the cat sat", "wiki")],
+        "doc_id string, text string, source string",
+    )
+    with pytest.raises(ValueError, match="no documents with source"):
+        dsir_weights(docs, target_source="nope")
+
+
 def test_temporal_triples_intervals_and_run_collapse(spark):
     from btd.ontology import temporal_triples
 

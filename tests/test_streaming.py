@@ -56,7 +56,7 @@ def test_zscore_anomaly_stream_carries_state_across_batches(
 ):
     """The Welford state must merge across micro-batches: 9 calm
     events arrive in batch 1, the spike in batch 2 — it can only be
-    flagged if batch 2 sees batch 1's (n, Σv, Σv²)."""
+    flagged if batch 2 sees batch 1's (n, mean, M2)."""
     import os
     import time
 
@@ -109,3 +109,64 @@ def test_zscore_anomaly_stream_skips_null_values(spark, tmp_path):
     got = spark.sql("SELECT * FROM zs_null").collect()
     assert [r["event_id"] for r in got] == [9]
     assert got[0]["n_prior"] == 8  # the NULL did not count
+
+
+def test_zscore_anomaly_stream_large_magnitude_stability(spark, tmp_path):
+    """Catastrophic-cancellation regression (r4 advice): with naive
+    (n, Σv, Σv²) state, a constant history at large magnitude can
+    compute a tiny positive variance where true variance is exactly 0,
+    flipping the var>0 emission predicate. The shifted-origin moments
+    make var EXACTLY 0 for constant input — no spurious anomalies —
+    while a genuine spike on the same offset is still flagged."""
+    import os
+    import time
+
+    from btd.streaming import run_to_memory, zscore_anomaly_stream
+
+    d = str(tmp_path / "evbig")
+    os.makedirs(d)
+    c = 123456789.125  # large offset, exactly representable
+    rows = [(i, f"2024-01-01 00:0{i}:00", 1, c) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS timestamp) AS ts", "user_id", "value"
+    )
+    spike = spark.createDataFrame(
+        [(9, "2024-01-01 01:00:00", 1, c + 5000.0)],
+        "event_id long, ts_s string, user_id long, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS timestamp) AS ts", "user_id", "value"
+    )
+    df.coalesce(1).write.parquet(d + "/b1")
+    time.sleep(1.1)
+    spike.coalesce(1).write.parquet(d + "/b2")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/b*/")
+    )
+    run_to_memory(zscore_anomaly_stream(stream, threshold=2.0), "zs_big")
+    got = spark.sql("SELECT * FROM zs_big").collect()
+    # constant rows never emit (var is exactly 0 despite the offset);
+    # the spike arrives with zero prior variance, so it does not emit
+    # either under the var>0 guard — the whole stream stays silent
+    assert got == []
+    # same offset WITH real jitter: the spike must still be caught
+    d2 = str(tmp_path / "evbig2")
+    os.makedirs(d2)
+    rows2 = [
+        (i, f"2024-01-01 00:0{i}:00", 1, c + (i % 2)) for i in range(9)
+    ]
+    rows2.append((9, "2024-01-01 01:00:00", 1, c + 5000.0))
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts_s string, user_id long, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS timestamp) AS ts", "user_id", "value"
+    )
+    df2.coalesce(1).write.parquet(d2 + "/b1")
+    stream2 = spark.readStream.schema(df2.schema).parquet(d2 + "/b1")
+    run_to_memory(zscore_anomaly_stream(stream2, threshold=2.0), "zs_big2")
+    got2 = spark.sql("SELECT * FROM zs_big2").collect()
+    assert [r["event_id"] for r in got2] == [9]
+    assert got2[0]["z"] > 2

@@ -318,3 +318,26 @@ def test_upsert_map_column_and_helper_name_collision(spark):
         "b": ("keep", {"y": 2}),
         "c": ("ins", {"z": 3}),
     }
+
+
+def test_upsert_nested_map_columns_excluded(spark):
+    """Maps nested inside arrays/structs are just as unorderable as
+    top-level ones — ORDER BY raises at plan time if they leak into
+    the tiebreak (r4 advice)."""
+    from btd.materialize import upsert
+
+    schema = (
+        "k string, payload string, tags array<map<string,int>>, "
+        "meta struct<m: map<string,int>, v: int>"
+    )
+    ex = spark.createDataFrame(
+        [("a", "old", [{"x": 1}], ({"q": 1}, 5))], schema
+    )
+    up = spark.createDataFrame(
+        [("a", "new", [{"x": 9}], ({"q": 2}, 6)),
+         ("b", "ins", [], ({}, 0))],
+        schema,
+    )
+    got = {r.k: (r.payload, r.meta.v) for r in
+           upsert(ex, up, ["k"]).collect()}
+    assert got == {"a": ("new", 6), "b": ("ins", 0)}
