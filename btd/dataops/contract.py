@@ -265,13 +265,19 @@ def _q_emb_cluster_sample(spark, sf):
 
 
 def _q_emb_pq_topk(spark, sf):
-    """PQ-ADC approximate top-k in the gate: database vectors as
-    8 six-bit codes (85x compression vs the 512-byte float64 vector),
-    queries full precision, partition-local table-lookup scoring. The
-    oracle unrolls the identical per-subspace Lloyd + ADC in SQL."""
+    """IVFADC approximate top-k in the gate: database vectors as
+    8 six-bit codes (85x compression vs the 512-byte float64 vector)
+    bucketed by their home IVF cluster, full-precision queries probing
+    their 4 nearest clusters, bucket-local table-lookup scoring — no
+    vector data on the driver anywhere in the plan (the r4 design's
+    full-corpus collect is gone). The oracle unrolls the identical
+    coarse Lloyd + per-subspace Lloyd + probe-restricted ADC in SQL;
+    nprobe/n_clusters pin the ivf_topk-shared layout rules."""
     from btd.dataops.similarity import pq_topk
 
-    return pq_topk(_emb(spark, sf), k=3, m=8, n_codes=64, n_iter=3)
+    return pq_topk(
+        _emb(spark, sf), k=3, m=8, n_codes=64, n_iter=3, nprobe=4
+    )
 
 
 def _q_emb_recall(spark, sf):
@@ -744,15 +750,21 @@ def _pq_topk_sql(
     m: int = 4,
     n_codes: int = 16,
     n_iter: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
 ) -> str:
-    """DuckDB twin of btd.dataops.similarity.pq_topk: per-subspace
-    Lloyd unrolled as CTEs (assignment score ROUND(dot − ½‖c‖², 6),
-    ties → code index — pq_assign_kernel's exact discretization;
-    centroids are plain means, NOT renormalized; empty codes keep the
-    previous centroid), then ADC = ROUND(Σ_s dot(q_s, c_{code_s}), 6)
-    ranked (adc DESC, id_b ASC). n_codes is a design constant (2^bits),
-    not data-sized, so gate and bench layouts are identical by
-    construction."""
+    """DuckDB twin of btd.dataops.similarity.pq_topk (IVFADC): the
+    shared coarse-codebook CTEs (``_ivf_train_parts`` → home ``bk`` +
+    probe ``pr`` assignments, identical to the ivf_topk twin), plus
+    the per-subspace PQ Lloyd unrolled as CTEs (assignment score
+    ROUND(dot − ½‖c‖², 6), ties → code index — pq_assign_kernel's
+    exact discretization; centroids are plain means, NOT renormalized;
+    empty codes keep the previous centroid), then
+    ADC = ROUND(Σ_s dot(q_s, c_{code_s}), 6) computed ONLY over the
+    probe-restricted candidate pairs and ranked (adc DESC, id_b ASC).
+    n_codes is a design constant (2^bits), not data-sized; n_clusters
+    replicates the auto_nlist rule at the gate corpus like the
+    ivf_topk twin."""
     sd = dim // m
 
     def lo(s: int) -> int:
@@ -771,7 +783,11 @@ def _pq_topk_sql(
                       cb.cidx) AS rn
     FROM v, {book} cb) WHERE rn = 1)"""
 
-    parts = [f"WITH {_COSINE_SQL},"]
+    # coarse IVF layout: c0..c{n_iter} Lloyd CTEs + home (bk) + probes
+    # (pr) — byte-identical machinery to the ivf_topk twin, so the
+    # candidate sets of the two oracles can only agree
+    parts = _ivf_train_parts(dim, n_clusters, n_iter)
+    parts.append(_ivf_assign_cte("pr", f"c{n_iter}", f"<= {nprobe}") + ",")
     for s in range(m):
         parts.append(
             f"""cb0_{s} AS (
@@ -815,10 +831,16 @@ cb{j}_{s} AS (
     )
     parts.append(
         f"""codes AS (SELECT b0.vec_id, {sel} FROM bk_0 b0 {joins}),
+cand AS (
+  SELECT DISTINCT p.vec_id AS id_a, h.vec_id AS id_b
+  FROM pr p JOIN bk h USING (cidx)
+  WHERE p.vec_id != h.vec_id),
 scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({adc}, 6) AS adc
-  FROM v a, codes b {code_joins}
-  WHERE a.vec_id != b.vec_id),
+  SELECT cd.id_a, cd.id_b, ROUND({adc}, 6) AS adc
+  FROM cand cd
+  JOIN v a ON a.vec_id = cd.id_a
+  JOIN codes b ON b.vec_id = cd.id_b
+  {code_joins}),
 ranked AS (
   SELECT id_a, id_b, adc,
          CAST(ROW_NUMBER() OVER (PARTITION BY id_a
@@ -1248,7 +1270,10 @@ def oracle_sql_dataops():
             WHERE id_a < id_b AND cosine >= 0.45""",
         "emb_brute_force_topk": _brute_topk_sql(3),
         "emb_recall_at_k": _recall_sql(3),
-        "emb_pq_topk": _pq_topk_sql(m=8, n_codes=64),
+        "emb_pq_topk": _pq_topk_sql(
+            m=8, n_codes=64, n_clusters=auto_nlist(_gate_corpus_n()),
+            nprobe=4,
+        ),
         "doc_winnow_near_dup": f"""
             WITH docs_plus AS ({DOCS_PLUS_SQL}),
             t AS (SELECT doc_id, string_split(text, ' ') AS tk

