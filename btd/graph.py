@@ -26,6 +26,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_interval: int = 5,
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (node, rank); ranks sum to #nodes.
 
@@ -39,6 +41,18 @@ def pagerank(
     stays bounded by the interval either way — raise it when per-job
     latency dominates (small graphs), lower toward 1 when an
     iteration's shuffle is itself huge.
+
+    ``tol``: convergence early-exit. When set, each CHECKPOINT (not
+    each iteration — the check joins two materialized rank snapshots,
+    one node-keyed exchange + a 1-row max, so it rides the checkpoint
+    cadence for free) compares max |Δrank| against ``tol`` and stops
+    when the window moved less than that; ``n_iter`` becomes the
+    ceiling instead of the exact count. None (default) keeps the
+    fixed-iteration contract the byte-exact oracles replicate.
+
+    ``stats``: optional dict the call fills with
+    ``{"iterations": <count actually run>}`` — the lineage-manifest
+    hook, and how the early-exit is testable without timing.
     """
     loop = CheckpointLoop(edges.sparkSession)
     # explode, not union-of-projections: one evaluation of the edge
@@ -61,6 +75,8 @@ def pagerank(
     dangling_nodes = loop.static(nodes.join(out_deg, "node", "left_anti"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
+    prev_ck = ranks  # last checkpointed snapshot (tol mode only)
+    done = 0
     for it in range(n_iter):
         contribs = (
             ew.join(ranks, "node")
@@ -88,8 +104,33 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_interval == 0 or it == n_iter - 1:
-            ranks = loop.step(ranks)
+        done = it + 1
+        if done % checkpoint_interval == 0 or it == n_iter - 1:
+            if tol is None or it == n_iter - 1:
+                ranks = loop.step(ranks)
+            else:
+                # keep the previous snapshot's blocks alive through
+                # the convergence diff (free_prev=False), then release
+                # them — both sides are materialized checkpoints, so
+                # the delta is one node-keyed join + a 1-row max, per
+                # CHECKPOINT, not per iteration
+                ranks = loop.step(ranks, free_prev=False)
+                delta = (
+                    ranks.join(
+                        prev_ck.select(
+                            "node", F.col("rank").alias("_prev")
+                        ),
+                        "node",
+                    )
+                    .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))))
+                    .collect()[0][0]
+                )
+                loop.release_prev()
+                if delta is not None and delta < tol:
+                    break
+                prev_ck = ranks
+    if stats is not None:
+        stats["iterations"] = done
     loop.close()  # statics freed; final ranks keeps its checkpoint
     return ranks
 

@@ -45,6 +45,39 @@ def test_pagerank_vs_numpy(spark, edge_list):
     assert abs(sum(got.values()) - len(got)) < 1e-9  # mass conserved
 
 
+def test_pagerank_tol_early_exit_matches_fixed(spark):
+    """Convergence early-exit (r4 verdict item 5): on a fast-converging
+    graph the tol mode must stop well before the n_iter ceiling (one
+    delta check per CHECKPOINT, so the exit lands on a checkpoint
+    boundary) and produce ranks identical to the fixed-iteration run
+    at the tolerance."""
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    stats: dict = {}
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iter=50, checkpoint_interval=5, tol=1e-9,
+            stats=stats,
+        ).collect()
+    }
+    assert stats["iterations"] < 50
+    assert stats["iterations"] % 5 == 0  # exits on a checkpoint cut
+    fixed = {
+        r.node: r.rank
+        for r in pagerank(edges, n_iter=50, checkpoint_interval=5).collect()
+    }
+    for k in fixed:
+        assert abs(got[k] - fixed[k]) < 1e-7, k
+    assert abs(sum(got.values()) - len(got)) < 1e-9  # mass conserved
+    # tol=None keeps the exact fixed-iteration contract (oracle mode)
+    stats2: dict = {}
+    pagerank(
+        edges, n_iter=10, checkpoint_interval=5, stats=stats2
+    ).collect()
+    assert stats2["iterations"] == 10
+
+
 def test_pagerank_hot_node_ranks_highest(spark, triples_df):
     edges = triples_df.select(
         F.col("subject").alias("src"), F.col("object").alias("dst")
