@@ -17,9 +17,9 @@ Each query runs BTD_PROBE100_TRIALS times per level (default 2) and
 the MIN wall is recorded — the documented host variance (BASELINE.md
 §1) otherwise puts ±30% noise on single-trial ratios.
 
-Usage: python BENCH/probe100.py  → writes BENCH/sf10_probe_r04.json
+Usage: python BENCH/probe100.py  → writes BENCH/sf10_probe_r05.json
 and prints one JSON line. Budget via BTD_PROBE100_BUDGET (default
-1400 s, build time included).
+2200 s, build time included).
 """
 
 from __future__ import annotations
@@ -50,6 +50,14 @@ QUERIES = [
     # r4: mid-keyed self-join + per-source distinct count — the new
     # two-hop op's Σ deg² join surface measured at 100x, not argued
     "kg_two_hop_reach",
+    # r5 additions (verdict items 3-4): the slowest query (iterative —
+    # 10 joins + checkpoint cadence) had no measured 100x ratio; the
+    # rewritten bucketed IVFADC path needs its sublinear-wall evidence;
+    # and one end-to-end Structured Streaming pipeline so micro-batch
+    # machinery overhead is measured against data growth too
+    "kg_pagerank",
+    "emb_pq_topk",
+    "stream_windowed_counts",
 ]
 
 
@@ -59,7 +67,7 @@ def main() -> None:
     from BENCH.make_scale import ensure
     from btd.session import get_spark
 
-    budget = float(os.environ.get("BTD_PROBE100_BUDGET", "1400"))
+    budget = float(os.environ.get("BTD_PROBE100_BUDGET", "2200"))
     trials = int(os.environ.get("BTD_PROBE100_TRIALS", "2"))
     calib = host_calibration()
     spark = get_spark("btd-probe100", cores=32, shuffle_partitions=64)
@@ -111,7 +119,7 @@ def main() -> None:
         "below 100 = fixed costs amortizing, far above 100 = the plan "
         "does not survive 100x"
     )
-    with open(os.path.join(repo, "BENCH", "sf10_probe_r04.json"), "w") as f:
+    with open(os.path.join(repo, "BENCH", "sf10_probe_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, separators=(",", ":")), flush=True)
     spark.stop()

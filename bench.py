@@ -179,6 +179,9 @@ def main() -> None:
             # r4: mid-keyed self-join + distinct count — the Σ deg²
             # shape two_hop shares with the pair generators above
             "kg_two_hop_reach",
+            # r5: the rewritten bucketed IVFADC path — watch its codes
+            # shuffle + bucket-local scoring at 10x like the other ANN
+            "emb_pq_topk",
         ]
         try:
             from BENCH.make_scale import ensure
