@@ -42,6 +42,13 @@ if not _UNDER_SUBMIT:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("BTD_SCALE_REPLICAS", "96"))
 TRIALS = int(os.environ.get("BTD_SCALE_TRIALS", "2"))
+# Strong scaling holds the problem DECOMPOSITION constant and varies only
+# worker count: both levels run the identical 64-partition job (64 = 32
+# waves at 2 cores, 8 at 8, 2 at 32). The earlier repartition(cores*4)
+# gave the low level fewer/larger partitions whose per-task Arrow+codegen
+# overhead is amortized better, which understates efficiency by mixing a
+# decomposition change into the worker-count change.
+PARTITIONS = int(os.environ.get("BTD_SCALE_PARTITIONS", "64"))
 
 
 def build_pyfiles_zip() -> str:
@@ -92,8 +99,10 @@ def run_level(cores: int) -> dict:
     from btd.extract.relations import extract_triples
     from btd.session import get_spark
 
-    spark = get_spark(f"btd-scale-{cores}", cores=cores, shuffle_partitions=cores)
-    tx = build_input(spark, SF_DIR, REPLICAS).repartition(cores * 4)
+    spark = get_spark(
+        f"btd-scale-{cores}", cores=cores, shuffle_partitions=PARTITIONS
+    )
+    tx = build_input(spark, SF_DIR, REPLICAS).repartition(PARTITIONS)
     tx.persist()
     n_turns = tx.count()  # materialize input outside the timed window
 
