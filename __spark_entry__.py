@@ -1111,6 +1111,46 @@ def _q_kg_khop(spark: SparkSession, sf: str) -> DataFrame:
     return khop(e, k=3, roots=roots)
 
 
+def _q_kg_bgp(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query over the extracted KG —
+    the conjunctive workload the reference's billion-triples profiling
+    exists to serve: users anchored on the 2-bound pattern
+    (?u uses click) — broadcast, shuffle-free anchor join — starred
+    with every (?tool, ?crew) they used / met. Greedy selectivity
+    planner (btd/bgp.py): most-bound pattern first, then shared-
+    variable connectivity; 2 pattern-sized exchanges, never the corpus."""
+    from btd.bgp import bgp_match
+
+    tri = extract_triples(transcripts_from_events(spark, sf))
+    return bgp_match(
+        tri,
+        [
+            ("?u", "uses", "click"),
+            ("?u", "uses", "?tool"),
+            ("?u", "met_with", "?crew"),
+        ],
+    )
+
+
+def _q_kg_bgp_optional(spark: SparkSession, sf: str) -> DataFrame:
+    """BGP with SPARQL OPTIONAL semantics: every met_with assertion
+    keeps its required bindings, LEFT-joined with the user's tools and
+    with a (?crew located_in ?loc) pattern that can never bind on this
+    corpus (crew surfaces are not subjects) — the all-NULL column is
+    the point: unmatched OPTIONAL must preserve rows, not drop them."""
+    from btd.bgp import bgp_match
+
+    tri = extract_triples(transcripts_from_events(spark, sf))
+    return bgp_match(
+        tri,
+        [("?u", "met_with", "?crew")],
+        optional=[
+            ("?u", "uses", "?tool"),
+            ("?crew", "located_in", "?loc"),
+        ],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """Query registry. ORDER MATTERS: the driver's correctness gate grades the
     FIRST 50 entries in insertion order, so slots 1-50 are reserved for queries
@@ -1162,6 +1202,11 @@ def queries() -> dict[str, QueryFn]:
         "stream_join": _q_stream_join,
         "kg_khop": _q_kg_khop,
         "kg_triangles": _q_kg_triangles,
+        # --- new in r5: BGP pattern-query surface (btd/bgp.py) —
+        # never graded, so they take window slots from two untouched
+        # r03-green ref_* refreshes (which keep their old rows)
+        "kg_bgp": _q_kg_bgp,
+        "kg_bgp_optional": _q_kg_bgp_optional,
         # --- oldest greens (r03, code untouched since): refresh to
         # current-code rows so no signal in CORRECTNESS_r05 is stale
         "kg_copurchase": _q_kg_copurchase,
@@ -1373,6 +1418,20 @@ def oracle_sql() -> dict[str, str]:
                    END AS obj,
                    conv_id, turn_idx
             FROM tx""",
+        "kg_bgp": f"""{trips}
+            SELECT DISTINCT a.subj AS u, b.obj AS tool, c.obj AS crew
+            FROM triples a
+            JOIN triples b ON b.subj = a.subj
+            JOIN triples c ON c.subj = a.subj
+            WHERE a.pred = 'uses' AND a.obj = 'click'
+              AND b.pred = 'uses' AND c.pred = 'met_with'""",
+        "kg_bgp_optional": f"""{trips}
+            SELECT DISTINCT a.subj AS u, a.obj AS crew,
+                   b.obj AS tool, c.obj AS loc
+            FROM triples a
+            LEFT JOIN triples b ON b.subj = a.subj AND b.pred = 'uses'
+            LEFT JOIN triples c ON c.subj = a.obj AND c.pred = 'located_in'
+            WHERE a.pred = 'met_with'""",
         "kg_extract_windowed": f"""{tx},
             planted AS (
               SELECT conv_id, 1000000 AS turn_idx, 'user' AS role,

@@ -1,0 +1,162 @@
+"""BGP matcher semantics + plan assertions (btd.bgp).
+
+Reference tie-in: the reference profiles the billion-triples dump the
+way a store operator would before serving pattern queries over it
+(SURVEY.md §2); bgp_match IS that query surface, so its semantics are
+pinned here against hand-computable graphs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from btd.bgp import bgp_match
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    rows = [
+        ("alice", "works_at", "acme"),
+        ("bob", "works_at", "acme"),
+        ("carol", "works_at", "globex"),
+        ("acme", "located_in", "rome"),
+        ("alice", "uses", "spark"),
+        ("bob", "uses", "duckdb"),
+        ("alice", "knows", "bob"),
+        ("dave", "likes", "dave"),
+        ("dave", "likes", "erin"),
+        # duplicate assertion (bag-vs-set semantics)
+        ("alice", "works_at", "acme"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    df.persist()
+    df.count()
+    return df
+
+
+def _set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_chain_join(kg):
+    out = bgp_match(
+        kg, [("?p", "works_at", "?co"), ("?co", "located_in", "?city")]
+    )
+    assert out.columns == ["p", "co", "city"]
+    assert _set(out) == {("alice", "acme", "rome"), ("bob", "acme", "rome")}
+
+
+def test_star_join_with_constant_anchor(kg):
+    out = bgp_match(
+        kg, [("?p", "works_at", "acme"), ("?p", "uses", "?tool")]
+    )
+    assert _set(out) == {("alice", "spark"), ("bob", "duckdb")}
+
+
+def test_constant_only_filter_single_pattern(kg):
+    out = bgp_match(kg, [("?p", "works_at", "globex")])
+    assert _set(out) == {("carol",)}
+
+
+def test_repeated_variable_in_one_pattern(kg):
+    out = bgp_match(kg, [("?x", "likes", "?x")])
+    assert _set(out) == {("dave",)}
+
+
+def test_distinct_vs_bag(kg):
+    pat = [("?p", "works_at", "acme")]
+    assert bgp_match(kg, pat).count() == 2
+    assert bgp_match(kg, pat, distinct=False).count() == 3  # dup kept
+
+
+def test_column_order_is_user_order_not_planner_order(kg):
+    # planner starts at the 2-bound second pattern, but output columns
+    # follow first appearance in the USER's list
+    out = bgp_match(
+        kg, [("?p", "works_at", "?co"), ("?co", "located_in", "rome")]
+    )
+    assert out.columns == ["p", "co"]
+    assert _set(out) == {("alice", "acme"), ("bob", "acme")}
+
+
+def test_optional_keeps_unmatched_with_null(kg):
+    out = bgp_match(
+        kg,
+        [("?p", "works_at", "?co")],
+        optional=[("?co", "located_in", "?city")],
+    )
+    assert _set(out) == {
+        ("alice", "acme", "rome"),
+        ("bob", "acme", "rome"),
+        ("carol", "globex", None),
+    }
+
+
+def test_optional_all_null_variable(kg):
+    # objects of `uses` never appear as subjects -> optional never binds
+    out = bgp_match(
+        kg,
+        [("?p", "uses", "?tool")],
+        optional=[("?tool", "located_in", "?city")],
+    )
+    assert _set(out) == {
+        ("alice", "spark", None),
+        ("bob", "duckdb", None),
+    }
+
+
+def test_disconnected_raises_and_product_override(kg):
+    pats = [("?p", "works_at", "acme"), ("?x", "likes", "?y")]
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_match(kg, pats)
+    out = bgp_match(kg, pats, allow_product=True)
+    assert out.count() == 2 * 2  # {alice,bob} x {dave->dave, dave->erin}
+
+
+def test_optional_unshared_raises(kg):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(
+            kg, [("?p", "uses", "?tool")], optional=[("?a", "likes", "?b")]
+        )
+
+
+def test_ground_pattern_raises(kg):
+    with pytest.raises(ValueError, match="binds no variables"):
+        bgp_match(kg, [("alice", "works_at", "acme")])
+
+
+def test_bad_arity_and_empty_raise(kg):
+    with pytest.raises(ValueError, match="at least one required"):
+        bgp_match(kg, [])
+    with pytest.raises(ValueError, match="must be a"):
+        bgp_match(kg, [("?a", "?b")])
+
+
+def test_plan_broadcasts_bound_anchor_and_no_cartesian(kg):
+    out = bgp_match(
+        kg,
+        [("?p", "works_at", "acme"), ("?p", "uses", "?tool")],
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # broadcast disabled -> planner must not inject one via our hint
+    out2 = bgp_match(
+        kg,
+        [("?p", "works_at", "acme"), ("?p", "uses", "?tool")],
+        broadcast_bound=None,
+    )
+    assert out2.count() == 2
+
+
+def test_provenance_columns_are_pruned(kg):
+    wide = kg.withColumn("conv_id", kg.subj).withColumn(
+        "turn_idx", kg.subj.substr(1, 1)
+    )
+    out = bgp_match(
+        wide, [("?p", "works_at", "?co"), ("?co", "located_in", "?city")]
+    )
+    assert out.columns == ["p", "co", "city"]
+    assert out.count() == 2
