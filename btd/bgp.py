@@ -24,7 +24,10 @@ pattern queries over. This module is that query half, Spark-first:
   pass ``broadcast_bound=None``);
 * ``optional`` patterns LEFT-join after the required block, mirroring
   SPARQL OPTIONAL semantics: unmatched rows keep their required
-  bindings and carry NULL for the optional-only variables.
+  bindings and carry NULL for the optional-only variables;
+* ``minus`` patterns ANTI-join (SPARQL MINUS): a required solution is
+  dropped when the minus pattern matches on their shared variables —
+  variables appearing only in the minus pattern are existential.
 
 Scale posture: k required patterns cost k-1 joins of PATTERN-sized
 (never corpus-sized) slices, each keyed on the shared variable(s); the
@@ -57,7 +60,13 @@ class _Compiled:
 
     __slots__ = ("df", "vars", "bound", "idx", "pattern")
 
-    def __init__(self, triples: DataFrame, pattern: Pattern, idx: int):
+    def __init__(
+        self,
+        triples: DataFrame,
+        pattern: Pattern,
+        idx: int,
+        columns: Sequence[str] = _POSITIONS,
+    ):
         if len(pattern) != 3:
             raise ValueError(
                 f"pattern {pattern!r} must be a (subj, pred, obj) triple"
@@ -65,7 +74,7 @@ class _Compiled:
         conds = []
         proj: dict[str, str] = {}  # var name -> source column
         bound = 0
-        for col, term in zip(_POSITIONS, pattern):
+        for col, term in zip(columns, pattern):
             if _is_var(term):
                 v = term[1:]
                 if v in proj:
@@ -105,9 +114,11 @@ def bgp_match(
     triples: DataFrame,
     patterns: Iterable[Pattern],
     optional: Iterable[Pattern] = (),
+    minus: Iterable[Pattern] = (),
     distinct: bool = True,
     broadcast_bound: int | None = 2,
     allow_product: bool = False,
+    columns: Sequence[str] = _POSITIONS,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against ``triples``.
 
@@ -128,16 +139,28 @@ def bgp_match(
     query bug). A multi-pattern OPTIONAL group can be pre-joined with a
     nested ``bgp_match(..., distinct=False)`` whose result you join
     manually.
+
+    Each ``minus`` pattern ANTI-joins the required block on its shared
+    variables (SPARQL MINUS); it must share at least one variable — a
+    domain-disjoint MINUS removes nothing in SPARQL and is always a
+    query bug here. MINUS applies before OPTIONAL, so optional-only
+    variables cannot be minus keys.
+
+    ``columns`` renames the (subject, predicate, object) positions for
+    triple tables with a different schema — e.g. the reference's
+    n-quad table uses ``("subject", "predicate", "object")``.
     """
-    req = [_Compiled(triples, p, i) for i, p in enumerate(patterns)]
-    opt = [_Compiled(triples, p, i) for i, p in enumerate(optional)]
+    req = [_Compiled(triples, p, i, columns) for i, p in enumerate(patterns)]
+    opt = [_Compiled(triples, p, i, columns) for i, p in enumerate(optional)]
+    neg = [_Compiled(triples, p, i, columns) for i, p in enumerate(minus)]
     if not req:
         raise ValueError("at least one required pattern is needed")
 
     # user-facing column order: first appearance, required then optional
+    # (minus variables are removed, never bound — they don't project)
     out_cols: list[str] = []
     for c in req + opt:
-        for col, term in zip(_POSITIONS, c.pattern):
+        for term in c.pattern:
             if _is_var(term) and term[1:] not in out_cols:
                 out_cols.append(term[1:])
 
@@ -167,6 +190,19 @@ def bgp_match(
                 "cartesian product — pass allow_product=True if intended"
             )
         bound_vars |= nxt.vars
+
+    # ---- MINUS block: anti joins on the shared variables ----
+    for c in neg:
+        shared = sorted(c.vars & bound_vars)
+        if not shared:
+            raise ValueError(
+                f"minus pattern {c.pattern!r} shares no variable with the "
+                "required block; a domain-disjoint MINUS removes nothing "
+                "— restructure the query"
+            )
+        cur = cur.join(
+            _maybe_broadcast(c, broadcast_bound), on=shared, how="left_anti"
+        )
 
     # ---- OPTIONAL block: left joins, required bindings preserved ----
     for c in opt:

@@ -9,6 +9,7 @@ pinned here against hand-computable graphs.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from btd.bgp import bgp_match
 
@@ -103,6 +104,58 @@ def test_optional_all_null_variable(kg):
         ("alice", "spark", None),
         ("bob", "duckdb", None),
     }
+
+
+def test_minus_removes_matching_solutions(kg):
+    # workers minus those who use anything -> carol only
+    out = bgp_match(
+        kg,
+        [("?p", "works_at", "?co")],
+        minus=[("?p", "uses", "?tool")],
+    )
+    assert _set(out) == {("carol", "globex")}
+    # minus variable is existential, never projected
+    assert out.columns == ["p", "co"]
+
+
+def test_minus_with_constant(kg):
+    out = bgp_match(
+        kg,
+        [("?p", "works_at", "acme")],
+        minus=[("?p", "uses", "spark")],
+    )
+    assert _set(out) == {("bob",)}
+
+
+def test_minus_unshared_raises(kg):
+    with pytest.raises(ValueError, match="domain-disjoint"):
+        bgp_match(
+            kg, [("?p", "works_at", "?co")], minus=[("?a", "likes", "?b")]
+        )
+
+
+def test_minus_then_optional_composes(kg):
+    out = bgp_match(
+        kg,
+        [("?p", "works_at", "?co")],
+        optional=[("?co", "located_in", "?city")],
+        minus=[("?p", "uses", "?tool")],
+    )
+    assert _set(out) == {("carol", "globex", None)}
+
+
+def test_columns_mapping_nquad_schema(spark, kg):
+    nq = kg.select(
+        kg.subj.alias("subject"),
+        kg.pred.alias("predicate"),
+        kg.obj.alias("object"),
+    ).withColumn("context", F.col("subject"))
+    out = bgp_match(
+        nq,
+        [("?p", "works_at", "?co"), ("?co", "located_in", "?city")],
+        columns=("subject", "predicate", "object"),
+    )
+    assert _set(out) == {("alice", "acme", "rome"), ("bob", "acme", "rome")}
 
 
 def test_disconnected_raises_and_product_override(kg):

@@ -523,3 +523,40 @@ def test_temporal_triples_two_windows_share_one_exchange(spark):
     # the window's partitioning/ordering
     assert body.count("Window") == 3
     assert body.count("Sort") == 2
+
+
+def test_bgp_pattern_slices_prune_union_branches(spark):
+    """Each BGP pattern's constant-predicate filter must fold the
+    edges UNION down to its single source table: the <ordered> slice
+    scans only orders, the <contains> slice only lineitem — at a
+    10^12-triple scale the difference is reading half the corpus
+    per pattern vs all of it."""
+    from btd.bgp import bgp_match
+
+    df = bgp_match(
+        edges(spark, SF),
+        [("?c", "<ordered>", "?o"), ("?o", "<contains>", "?p")],
+        columns=("subject", "predicate", "object"),
+    )
+    plan = _plan(df)
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2  # one per pattern, not 2 per pattern
+    assert "CartesianProduct" not in plan
+    # distinct compiles to partial+final hash aggregate, map-side combined
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def test_bgp_minus_is_anti_join_not_subquery_loop(spark):
+    from btd.bgp import bgp_match
+
+    df = bgp_match(
+        edges(spark, SF),
+        [("?c", "<ordered>", "?o")],
+        minus=[("?o", "<contains>", "?x")],
+        columns=("subject", "predicate", "object"),
+    )
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
