@@ -1184,6 +1184,27 @@ def _q_ref_bgp_minus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ref_bgp_path(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL property path (<p>+, depth-bounded) over the n-quads
+    with every edge relabeled <linked>: the full 2-hop reachability
+    closure customer→order→part plus the 1-hop pairs. Compiles to
+    khop's frontier+anti-join BFS (per-level work bounded by the
+    distinct pair set); a production caller binds the subject so the
+    BFS seeds from roots instead of the whole graph — both call
+    shapes are pytest-pinned in tests/test_bgp.py."""
+    from btd.bgp import bgp_match
+
+    nq = edges(spark, sf).select(
+        "subject", F.lit("<linked>").alias("predicate"), "object"
+    )
+    return bgp_match(
+        nq,
+        [("?s", "<linked>+", "?t")],
+        columns=("subject", "predicate", "object"),
+        path_max_hops=2,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     """Query registry. ORDER MATTERS: the driver's correctness gate grades the
     FIRST 50 entries in insertion order, so slots 1-50 are reserved for queries
@@ -1246,6 +1267,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_bgp_optional": _q_kg_bgp_optional,
         "ref_bgp_chain": _q_ref_bgp_chain,
         "ref_bgp_minus": _q_ref_bgp_minus,
+        "ref_bgp_path": _q_ref_bgp_path,
         # --- oldest greens (r03, code untouched since): refresh to
         # current-code rows so no signal in CORRECTNESS_r05 is stale
         "kg_copurchase": _q_kg_copurchase,
@@ -1484,6 +1506,15 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM edges b
                               WHERE b.predicate = '<contains>'
                                 AND b.subject = a.object)""",
+        "ref_bgp_path": f"""WITH RECURSIVE edges AS ({EDGES_SQL}),
+            reach AS (
+                SELECT subject AS s, object AS t, 1 AS hops FROM edges
+                UNION
+                SELECT r.s, x.object, r.hops + 1
+                FROM reach r JOIN edges x ON x.subject = r.t
+                WHERE r.hops < 2
+            )
+            SELECT DISTINCT s, t FROM reach WHERE s <> t""",
         "kg_extract_windowed": f"""{tx},
             planted AS (
               SELECT conv_id, 1000000 AS turn_idx, 'user' AS role,

@@ -27,7 +27,14 @@ pattern queries over. This module is that query half, Spark-first:
   bindings and carry NULL for the optional-only variables;
 * ``minus`` patterns ANTI-join (SPARQL MINUS): a required solution is
   dropped when the minus pattern matches on their shared variables —
-  variables appearing only in the minus pattern are existential.
+  variables appearing only in the minus pattern are existential;
+* a predicate constant ending in ``+`` is a SPARQL property path
+  (``<p>+``): the pattern matches pairs connected by 1..path_max_hops
+  edges of that predicate, compiled to the level-synchronous
+  frontier+anti-join BFS of :func:`btd.graph.khop` (per-level work
+  bounded by the distinct pair set, not path volume). A bound subject
+  becomes the BFS root seed, so the closure never expands beyond the
+  asked-for neighborhood.
 
 Scale posture: k required patterns cost k-1 joins of PATTERN-sized
 (never corpus-sized) slices, each keyed on the shared variable(s); the
@@ -66,11 +73,16 @@ class _Compiled:
         pattern: Pattern,
         idx: int,
         columns: Sequence[str] = _POSITIONS,
+        path_max_hops: int = 3,
     ):
         if len(pattern) != 3:
             raise ValueError(
                 f"pattern {pattern!r} must be a (subj, pred, obj) triple"
             )
+        pred = pattern[1]
+        if not _is_var(pred) and pred.endswith("+") and len(pred) > 1:
+            self._compile_path(triples, pattern, idx, columns, path_max_hops)
+            return
         conds = []
         proj: dict[str, str] = {}  # var name -> source column
         bound = 0
@@ -103,6 +115,54 @@ class _Compiled:
         self.idx = idx
         self.pattern = tuple(pattern)
 
+    def _compile_path(
+        self,
+        triples: DataFrame,
+        pattern: Pattern,
+        idx: int,
+        columns: Sequence[str],
+        max_hops: int,
+    ) -> None:
+        """``(s, <p>+, o)``: transitive closure of the predicate's edge
+        slice up to ``max_hops``, via khop's frontier BFS."""
+        from btd.graph import khop
+
+        s_term, pred, o_term = pattern
+        scol, pcol, ocol = columns
+        if _is_var(s_term) and _is_var(o_term) and s_term == o_term:
+            raise ValueError(
+                f"cyclic path pattern {pattern!r} (same variable at both "
+                "ends) is not supported — khop closure excludes self-pairs"
+            )
+        base = triples.where(F.col(pcol) == F.lit(pred[:-1])).select(
+            F.col(scol).alias("_s"), F.col(ocol).alias("_n")
+        )
+        roots = None
+        if not _is_var(s_term):
+            # bound subject => seed the BFS, never expand the full graph
+            roots = base.where(F.col("_s") == F.lit(s_term)).select("_s")
+        closure = khop(base, k=max_hops, src="_s", dst="_n", roots=roots)
+        if not _is_var(o_term):
+            closure = closure.where(F.col("node") == F.lit(o_term))
+        sel = []
+        self.vars = set()
+        if _is_var(s_term):
+            sel.append(F.col("root").alias(s_term[1:]))
+            self.vars.add(s_term[1:])
+        if _is_var(o_term):
+            sel.append(F.col("node").alias(o_term[1:]))
+            self.vars.add(o_term[1:])
+        if not sel:
+            raise ValueError(
+                f"pattern {pattern!r} binds no variables; a fully-ground "
+                "path is an EXISTS filter — share a variable instead"
+            )
+        self.df = closure.select(*sel)
+        # s/o constants count toward selectivity; the path itself doesn't
+        self.bound = 2 - len(self.vars)
+        self.idx = idx
+        self.pattern = tuple(pattern)
+
 
 def _maybe_broadcast(c: _Compiled, broadcast_bound: int | None) -> DataFrame:
     if broadcast_bound is not None and c.bound >= broadcast_bound:
@@ -119,6 +179,7 @@ def bgp_match(
     broadcast_bound: int | None = 2,
     allow_product: bool = False,
     columns: Sequence[str] = _POSITIONS,
+    path_max_hops: int = 3,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against ``triples``.
 
@@ -149,10 +210,18 @@ def bgp_match(
     ``columns`` renames the (subject, predicate, object) positions for
     triple tables with a different schema — e.g. the reference's
     n-quad table uses ``("subject", "predicate", "object")``.
+
+    A constant predicate ending in ``+`` is a property path: pairs
+    connected by 1..``path_max_hops`` hops of that predicate (SPARQL
+    ``<p>+`` truncated at a fixed depth — unbounded closure over an
+    unknown graph is not a plan that survives 100 TB; pick the depth
+    the question actually needs).
     """
-    req = [_Compiled(triples, p, i, columns) for i, p in enumerate(patterns)]
-    opt = [_Compiled(triples, p, i, columns) for i, p in enumerate(optional)]
-    neg = [_Compiled(triples, p, i, columns) for i, p in enumerate(minus)]
+    mk = lambda ps: [  # noqa: E731
+        _Compiled(triples, p, i, columns, path_max_hops)
+        for i, p in enumerate(ps)
+    ]
+    req, opt, neg = mk(patterns), mk(optional), mk(minus)
     if not req:
         raise ValueError("at least one required pattern is needed")
 

@@ -158,6 +158,66 @@ def test_columns_mapping_nquad_schema(spark, kg):
     assert _set(out) == {("alice", "acme", "rome"), ("bob", "acme", "rome")}
 
 
+@pytest.fixture(scope="module")
+def chain_kg(spark):
+    # a -next-> b -next-> c -next-> d, plus labels
+    rows = [
+        ("a", "next", "b"),
+        ("b", "next", "c"),
+        ("c", "next", "d"),
+        ("x", "next", "b"),
+        ("a", "label", "start"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    df.persist()
+    df.count()
+    return df
+
+
+def test_path_closure_both_vars(chain_kg):
+    out = bgp_match(chain_kg, [("?s", "next+", "?t")], path_max_hops=3)
+    assert _set(out) == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"),
+        ("c", "d"),
+        ("x", "b"), ("x", "c"), ("x", "d"),
+    }
+
+
+def test_path_depth_truncates(chain_kg):
+    out = bgp_match(chain_kg, [("?s", "next+", "?t")], path_max_hops=1)
+    assert _set(out) == {("a", "b"), ("b", "c"), ("c", "d"), ("x", "b")}
+
+
+def test_path_bound_subject_seeds_bfs(chain_kg):
+    out = bgp_match(chain_kg, [("a", "next+", "?t")], path_max_hops=3)
+    assert _set(out) == {("b",), ("c",), ("d",)}
+
+
+def test_path_bound_object_filters(chain_kg):
+    out = bgp_match(chain_kg, [("?s", "next+", "d")], path_max_hops=3)
+    # a->b->c->d is 3 hops; x->b->c->d too
+    assert _set(out) == {("a",), ("b",), ("c",), ("x",)}
+    out2 = bgp_match(chain_kg, [("?s", "next+", "d")], path_max_hops=2)
+    assert _set(out2) == {("b",), ("c",)}
+
+
+def test_path_joins_with_plain_pattern(chain_kg):
+    out = bgp_match(
+        chain_kg,
+        [("?s", "label", "start"), ("?s", "next+", "?t")],
+        path_max_hops=2,
+    )
+    assert _set(out) == {("a", "b"), ("a", "c")}
+
+
+def test_path_cycle_and_ground_raise(chain_kg):
+    with pytest.raises(ValueError, match="cyclic"):
+        bgp_match(chain_kg, [("?x", "next+", "?x")])
+    with pytest.raises(ValueError, match="binds no variables"):
+        bgp_match(chain_kg, [("a", "next+", "d")])
+
+
 def test_disconnected_raises_and_product_override(kg):
     pats = [("?p", "works_at", "acme"), ("?x", "likes", "?y")]
     with pytest.raises(ValueError, match="disconnected"):
