@@ -58,6 +58,11 @@ QUERIES = [
     "kg_pagerank",
     "emb_pq_topk",
     "stream_windowed_counts",
+    # r5: the new BGP query surface — chain join (union-pruned pattern
+    # slices), anti-join MINUS, and the khop-compiled property path
+    "ref_bgp_chain",
+    "ref_bgp_minus",
+    "ref_bgp_path",
 ]
 
 

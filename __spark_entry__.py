@@ -1217,12 +1217,13 @@ def queries() -> dict[str, QueryFn]:
     whose module was touched this round (similarity.py — the bucketed pq_topk
     rewrite — so all emb_*; streaming.py — stable expanding moments — so all
     stream_*; graph.py — pagerank early-exit — so kg_pagerank/khop/triangles;
-    quality.py/materialize.py → kg_fk_check/kg_upsert), then the four
+    quality.py/materialize.py → kg_fk_check/kg_upsert), then the five
     never-graded BGP pattern queries added this round (btd/bgp.py), plus the
     oldest untouched r03 greens (kg_* graph/extract block, ref_* analyses) so
-    every row in CORRECTNESS_r05 is at-current-code. The four BGP slots push
-    the last four ref_* refreshes (salted/HLL variants, top_contexts — all
-    r03-green, code untouched) just past slot 50; they keep their old rows.
+    every row in CORRECTNESS_r05 is at-current-code. The five BGP slots push
+    the last five ref_* refreshes (distinct_contexts + its salted/HLL
+    variants, outdegree_histogram_salted, top_contexts — all r03-green, code
+    untouched) just past slot 50; they keep their old rows.
     The r04-green untouched doc_* dataops and ev_* batch suites rotate to the
     tail —
     tests/test_oracle_parity.py still covers the full registry (count asserted

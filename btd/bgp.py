@@ -215,7 +215,9 @@ def bgp_match(
     connected by 1..``path_max_hops`` hops of that predicate (SPARQL
     ``<p>+`` truncated at a fixed depth — unbounded closure over an
     unknown graph is not a plan that survives 100 TB; pick the depth
-    the question actually needs).
+    the question actually needs). A vocabulary whose predicate IRIs
+    themselves end in ``+`` would collide with this syntax; escape by
+    pre-filtering the triples frame instead of using a constant term.
     """
     mk = lambda ps: [  # noqa: E731
         _Compiled(triples, p, i, columns, path_max_hops)
