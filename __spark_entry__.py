@@ -1118,10 +1118,13 @@ def _q_kg_bgp(spark: SparkSession, sf: str) -> DataFrame:
     (?u uses click) — broadcast, shuffle-free anchor join — starred
     with every (?tool, ?crew) they used / met. Greedy selectivity
     planner (btd/bgp.py): most-bound pattern first, then shared-
-    variable connectivity; 2 pattern-sized exchanges, never the corpus."""
+    variable connectivity; 2 pattern-sized exchanges, never the corpus.
+    The extraction is persisted so the three pattern slices share ONE
+    UDF pass — the stand-in for querying the materialized triple table
+    (production BGP never re-runs the extractor per pattern)."""
     from btd.bgp import bgp_match
 
-    tri = extract_triples(transcripts_from_events(spark, sf))
+    tri = extract_triples(transcripts_from_events(spark, sf)).persist()
     return bgp_match(
         tri,
         [
@@ -1137,10 +1140,11 @@ def _q_kg_bgp_optional(spark: SparkSession, sf: str) -> DataFrame:
     keeps its required bindings, LEFT-joined with the user's tools and
     with a (?crew located_in ?loc) pattern that can never bind on this
     corpus (crew surfaces are not subjects) — the all-NULL column is
-    the point: unmatched OPTIONAL must preserve rows, not drop them."""
+    the point: unmatched OPTIONAL must preserve rows, not drop them.
+    Extraction persisted — one UDF pass shared by all three slices."""
     from btd.bgp import bgp_match
 
-    tri = extract_triples(transcripts_from_events(spark, sf))
+    tri = extract_triples(transcripts_from_events(spark, sf)).persist()
     return bgp_match(
         tri,
         [("?u", "met_with", "?crew")],

@@ -211,6 +211,12 @@ def bgp_match(
     triple tables with a different schema — e.g. the reference's
     n-quad table uses ``("subject", "predicate", "object")``.
 
+    Each pattern slice scans ``triples`` once. Over a parquet/Iceberg
+    triple table that is the right plan (constant predicates prune and
+    push down per slice); over an EXPENSIVE derived plan (e.g. raw
+    pandas-UDF extraction) persist the frame first — production BGP
+    runs against the materialized triple table, not the extractor.
+
     A constant predicate ending in ``+`` is a property path: pairs
     connected by 1..``path_max_hops`` hops of that predicate (SPARQL
     ``<p>+`` truncated at a fixed depth — unbounded closure over an
