@@ -32,9 +32,11 @@ pattern queries over. This module is that query half, Spark-first:
   (``<p>+``): the pattern matches pairs connected by 1..path_max_hops
   edges of that predicate, compiled to the level-synchronous
   frontier+anti-join BFS of :func:`btd.graph.khop` (per-level work
-  bounded by the distinct pair set, not path volume). A bound subject
-  becomes the BFS root seed, so the closure never expands beyond the
-  asked-for neighborhood.
+  bounded by the distinct pair set, not path volume). A bound endpoint
+  seeds the BFS — bound subject forward, bound object backward over
+  the reversed slice — so the closure never expands beyond the
+  asked-for neighborhood; self-reach through a cycle is included, per
+  SPARQL.
 
 Scale posture: k required patterns cost k-1 joins of PATTERN-sized
 (never corpus-sized) slices, each keyed on the shared variable(s); the
@@ -124,34 +126,59 @@ class _Compiled:
         max_hops: int,
     ) -> None:
         """``(s, <p>+, o)``: transitive closure of the predicate's edge
-        slice up to ``max_hops``, via khop's frontier BFS."""
+        slice up to ``max_hops``, via khop's frontier BFS.
+
+        Self-reach solutions are KEPT (khop ``keep_self``): on a cyclic
+        graph, SPARQL ``<p>+`` includes a→…→a, and ``(?x <p>+ ?x)``
+        enumerates exactly the nodes on ≤max_hops cycles. A bound
+        endpoint always SEEDS the BFS — bound subject directly, bound
+        object by reversing the edge slice — so the closure never
+        expands past the asked-for neighborhood in either direction.
+        """
         from btd.graph import khop
 
+        if max_hops < 1:
+            raise ValueError(
+                f"path_max_hops must be >= 1, got {max_hops} (SPARQL "
+                "<p>+ is one-or-more; there is no zero-hop closure)"
+            )
         s_term, pred, o_term = pattern
         scol, pcol, ocol = columns
-        if _is_var(s_term) and _is_var(o_term) and s_term == o_term:
-            raise ValueError(
-                f"cyclic path pattern {pattern!r} (same variable at both "
-                "ends) is not supported — khop closure excludes self-pairs"
-            )
         base = triples.where(F.col(pcol) == F.lit(pred[:-1])).select(
             F.col(scol).alias("_s"), F.col(ocol).alias("_n")
         )
+        reverse = False
         roots = None
         if not _is_var(s_term):
-            # bound subject => seed the BFS, never expand the full graph
+            # bound subject => seed the forward BFS
             roots = base.where(F.col("_s") == F.lit(s_term)).select("_s")
-        closure = khop(base, k=max_hops, src="_s", dst="_n", roots=roots)
-        if not _is_var(o_term):
-            closure = closure.where(F.col("node") == F.lit(o_term))
+        elif not _is_var(o_term):
+            # bound object => BFS BACKWARD from it over reversed edges,
+            # never the full all-roots closure
+            reverse = True
+            base = base.select(
+                F.col("_n").alias("_s"), F.col("_s").alias("_n")
+            )
+            roots = base.where(F.col("_s") == F.lit(o_term)).select("_s")
+        closure = khop(
+            base, k=max_hops, src="_s", dst="_n", roots=roots,
+            keep_self=True,
+        )
+        s_out, o_out = ("node", "root") if reverse else ("root", "node")
         sel = []
         self.vars = set()
-        if _is_var(s_term):
+        if _is_var(s_term) and _is_var(o_term) and s_term == o_term:
+            # (?x <p>+ ?x): nodes on a cycle of length <= max_hops
+            closure = closure.where(F.col("root") == F.col("node"))
             sel.append(F.col("root").alias(s_term[1:]))
             self.vars.add(s_term[1:])
-        if _is_var(o_term):
-            sel.append(F.col("node").alias(o_term[1:]))
-            self.vars.add(o_term[1:])
+        else:
+            if _is_var(s_term):
+                sel.append(F.col(s_out).alias(s_term[1:]))
+                self.vars.add(s_term[1:])
+            if _is_var(o_term):
+                sel.append(F.col(o_out).alias(o_term[1:]))
+                self.vars.add(o_term[1:])
         if not sel:
             raise ValueError(
                 f"pattern {pattern!r} binds no variables; a fully-ground "
@@ -194,12 +221,16 @@ def bgp_match(
     deterministic choice for oracle comparison); ``distinct=False``
     keeps bag semantics.
 
-    Each ``optional`` pattern LEFT-joins the required result on its
-    shared variables and must share at least one variable with it
-    (an unshared optional would be a cross product of NULLs — always a
-    query bug). A multi-pattern OPTIONAL group can be pre-joined with a
-    nested ``bgp_match(..., distinct=False)`` whose result you join
-    manually.
+    ``optional`` patterns LEFT-join sequentially: each joins the
+    solution built so far (required block plus earlier optionals) on
+    its shared variables, and must share at least one — an unshared
+    optional would be a cross product of NULLs, always a query bug. An
+    optional keyed on an earlier optional's variable therefore never
+    matches rows where that variable is NULL (the left-join-chain
+    behavior of SQL engines and most stores; formal SPARQL
+    unbound-compatibility would let it bind — restructure as a nested
+    ``bgp_match(..., distinct=False)`` group joined manually if you
+    need that reading).
 
     Each ``minus`` pattern ANTI-joins the required block on its shared
     variables (SPARQL MINUS); it must share at least one variable — a
@@ -225,6 +256,11 @@ def bgp_match(
     themselves end in ``+`` would collide with this syntax; escape by
     pre-filtering the triples frame instead of using a constant term.
     """
+    if len(columns) != 3:
+        raise ValueError(
+            f"columns must name exactly (subject, predicate, object) "
+            f"positions, got {tuple(columns)!r}"
+        )
     mk = lambda ps: [  # noqa: E731
         _Compiled(triples, p, i, columns, path_max_hops)
         for i, p in enumerate(ps)
@@ -245,7 +281,11 @@ def bgp_match(
     remaining = list(req)
     remaining.sort(key=lambda c: (-c.bound, c.idx))
     first = remaining.pop(0)
-    cur = _maybe_broadcast(first, broadcast_bound)
+    # hint the anchor only when an inner join inside this call consumes
+    # it — an unconsumed ResolvedHint would escape on the returned frame
+    # and force-broadcast the result into the CALLER's next join,
+    # whatever its size
+    cur = _maybe_broadcast(first, broadcast_bound) if remaining else first.df
     bound_vars = set(first.vars)
     while remaining:
         # prefer max shared vars, then max bound terms, then user order

@@ -141,10 +141,14 @@ def khop(
     src: str = "src",
     dst: str = "dst",
     roots: DataFrame | None = None,
+    keep_self: bool = False,
 ) -> DataFrame:
     """edges(src, dst) → (root, node, hops): every node reachable from
     ``root`` in at most ``k`` directed hops, with ``hops`` = the
-    MINIMUM hop count (1..k); self-pairs excluded. ``roots`` (a
+    MINIMUM hop count (1..k); self-pairs excluded unless ``keep_self``
+    (a cycle returning to the root IS a reachability fact — SPARQL
+    ``<p>+`` semantics need it; the neighborhood-size call doesn't,
+    hence the default). ``roots`` (a
     1-column seed DataFrame) restricts the expansion to the given seed
     entities — the usual KG call shape ("the 3-hop neighborhood of
     these customers"), and the knob that bounds output volume when the
@@ -187,6 +191,8 @@ def khop(
             .join(reached, ["root", "node"], "left_anti")
         )
         reached = reached.unionByName(level.withColumn("hops", F.lit(h)))
+    if keep_self:
+        return reached
     return reached.where(F.col("root") != F.col("node"))
 
 

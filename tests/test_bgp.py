@@ -211,11 +211,71 @@ def test_path_joins_with_plain_pattern(chain_kg):
     assert _set(out) == {("a", "b"), ("a", "c")}
 
 
-def test_path_cycle_and_ground_raise(chain_kg):
-    with pytest.raises(ValueError, match="cyclic"):
-        bgp_match(chain_kg, [("?x", "next+", "?x")])
+def test_path_ground_and_bad_depth_raise(chain_kg):
     with pytest.raises(ValueError, match="binds no variables"):
         bgp_match(chain_kg, [("a", "next+", "d")])
+    with pytest.raises(ValueError, match="path_max_hops"):
+        bgp_match(chain_kg, [("?s", "next+", "?t")], path_max_hops=0)
+
+
+@pytest.fixture(scope="module")
+def cyclic_kg(spark):
+    # a -> b -> c -> a (3-cycle), d -> d (self-loop), e -> a (tail-in)
+    rows = [
+        ("a", "next", "b"),
+        ("b", "next", "c"),
+        ("c", "next", "a"),
+        ("d", "next", "d"),
+        ("e", "next", "a"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    df.persist()
+    df.count()
+    return df
+
+
+def test_path_includes_self_reach_through_cycles(cyclic_kg):
+    # SPARQL <p>+ includes a -> ... -> a
+    out = bgp_match(cyclic_kg, [("a", "next+", "?t")], path_max_hops=3)
+    assert _set(out) == {("b",), ("c",), ("a",)}
+    back = bgp_match(cyclic_kg, [("?s", "next+", "a")], path_max_hops=3)
+    assert _set(back) == {("b",), ("c",), ("a",), ("e",)}
+
+
+def test_path_same_variable_enumerates_cycle_nodes(cyclic_kg):
+    out = bgp_match(cyclic_kg, [("?x", "next+", "?x")], path_max_hops=3)
+    assert _set(out) == {("a",), ("b",), ("c",), ("d",)}
+    short = bgp_match(cyclic_kg, [("?x", "next+", "?x")], path_max_hops=1)
+    assert _set(short) == {("d",)}  # only the self-loop closes in 1 hop
+
+
+def test_path_bound_object_is_rooted_not_filtered(cyclic_kg):
+    # the reverse-BFS plan must not expand the full closure: the
+    # joined-frontier per level only ever contains ancestors of 'a'
+    out = bgp_match(cyclic_kg, [("?s", "next+", "a")], path_max_hops=1)
+    assert _set(out) == {("c",), ("e",)}
+
+
+def test_columns_arity_validated(kg):
+    with pytest.raises(ValueError, match="columns"):
+        bgp_match(
+            kg, [("?p", "works_at", "?co")], columns=("subject", "predicate")
+        )
+
+
+def test_single_pattern_result_carries_no_broadcast_hint(kg, spark):
+    # an unconsumed hint would force-broadcast the result into the
+    # caller's next join regardless of its size
+    res = bgp_match(kg, [("?p", "works_at", "acme")])
+    other = spark.createDataFrame([("alice", 1)], "p string, n int")
+    joined = other.join(res, "p")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    # Catalyst may still choose broadcast by size estimate; what must
+    # NOT appear is our hint surviving in the analyzed logical plan
+    logical = str(joined._jdf.queryExecution().analyzed())
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
 
 
 def test_disconnected_raises_and_product_override(kg):
