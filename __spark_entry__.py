@@ -1209,6 +1209,39 @@ def _q_ref_bgp_path(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ref_construct(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the n-quads: the chain BGP's solutions
+    instantiated as NEW <bought> triples — the enrichment primitive
+    that turns query results back into graph. One chain join + one
+    narrow template select + the distinct exchange."""
+    from btd.infer import construct
+
+    return construct(
+        edges(spark, sf),
+        [("?c", "<ordered>", "?o"), ("?o", "<contains>", "?p")],
+        [("?c", "<bought>", "?p")],
+        columns=("subject", "predicate", "object"),
+    )
+
+
+def _q_kg_infer(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward-chaining entailment to fixpoint over the extracted KG
+    (btd/infer.py): two predicate-mapping rules plus an inverse rule
+    that only fires on round-1 derivations — the fixpoint genuinely
+    needs a second round, and the third proves convergence. Returns
+    the saturated distinct graph; per-round cost is the rule-body BGPs
+    over the growing graph, lineage cut per round via CheckpointLoop."""
+    from btd.infer import infer
+
+    tri = extract_triples(transcripts_from_events(spark, sf))
+    rules = [
+        ([("?u", "uses", "?t")], [("?u", "interacts_with", "?t")]),
+        ([("?u", "met_with", "?c")], [("?u", "interacts_with", "?c")]),
+        ([("?u", "interacts_with", "?x")], [("?x", "touched_by", "?u")]),
+    ]
+    return infer(tri, rules)
+
+
 def queries() -> dict[str, QueryFn]:
     """Query registry. ORDER MATTERS: the driver's correctness gate grades the
     FIRST 50 entries in insertion order, so slots 1-50 are reserved for queries
@@ -1221,13 +1254,15 @@ def queries() -> dict[str, QueryFn]:
     whose module was touched this round (similarity.py — the bucketed pq_topk
     rewrite — so all emb_*; streaming.py — stable expanding moments — so all
     stream_*; graph.py — pagerank early-exit — so kg_pagerank/khop/triangles;
-    quality.py/materialize.py → kg_fk_check/kg_upsert), then the five
-    never-graded BGP pattern queries added this round (btd/bgp.py), plus the
+    quality.py/materialize.py → kg_fk_check/kg_upsert), then the seven
+    never-graded queries added this round (five BGP pattern queries,
+    btd/bgp.py; CONSTRUCT + fixpoint inference, btd/infer.py), plus the
     oldest untouched r03 greens (kg_* graph/extract block, ref_* analyses) so
-    every row in CORRECTNESS_r05 is at-current-code. The five BGP slots push
-    the last five ref_* refreshes (distinct_contexts + its salted/HLL
-    variants, outdegree_histogram_salted, top_contexts — all r03-green, code
-    untouched) just past slot 50; they keep their old rows.
+    every row in CORRECTNESS_r05 is at-current-code. The seven new slots push
+    the last seven ref_* refreshes (topk_outdegree, percentages,
+    distinct_contexts + its salted/HLL variants, outdegree_histogram_salted,
+    top_contexts — all r03-green, code untouched) just past slot 50; they
+    keep their old rows.
     The r04-green untouched doc_* dataops and ev_* batch suites rotate to the
     tail —
     tests/test_oracle_parity.py still covers the full registry (count asserted
@@ -1273,6 +1308,8 @@ def queries() -> dict[str, QueryFn]:
         "ref_bgp_chain": _q_ref_bgp_chain,
         "ref_bgp_minus": _q_ref_bgp_minus,
         "ref_bgp_path": _q_ref_bgp_path,
+        "ref_construct": _q_ref_construct,
+        "kg_infer": _q_kg_infer,
         # --- oldest greens (r03, code untouched since): refresh to
         # current-code rows so no signal in CORRECTNESS_r05 is stale
         "kg_copurchase": _q_kg_copurchase,
@@ -1520,6 +1557,24 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.hops < 2
             )
             SELECT DISTINCT s, t FROM reach WHERE s <> t""",
+        "ref_construct": f"""{e}
+            SELECT DISTINCT a.subject AS subject,
+                   '<bought>' AS predicate, b.object AS object
+            FROM edges a
+            JOIN edges b ON b.subject = a.object
+            WHERE a.predicate = '<ordered>'
+              AND b.predicate = '<contains>'""",
+        "kg_infer": f"""{trips},
+            base AS (SELECT DISTINCT subj, pred, obj FROM triples),
+            inter AS (SELECT DISTINCT subj,
+                             'interacts_with' AS pred, obj
+                      FROM base WHERE pred IN ('uses', 'met_with')),
+            touched AS (SELECT DISTINCT obj AS subj,
+                               'touched_by' AS pred, subj AS obj
+                        FROM inter)
+            SELECT subj, pred, obj FROM base
+            UNION SELECT subj, pred, obj FROM inter
+            UNION SELECT subj, pred, obj FROM touched""",
         "kg_extract_windowed": f"""{tx},
             planted AS (
               SELECT conv_id, 1000000 AS turn_idx, 'user' AS role,

@@ -79,6 +79,15 @@ class CheckpointLoop:
         self._free(self._deferred)
         self._deferred = set()
 
+    def rollback_step(self) -> None:
+        """Free the CURRENT step's blocks and restore the previous step
+        (retained with ``free_prev=False``) as current — for loops
+        whose convergence check decides the newest step is not needed
+        and the PREVIOUS state is the result the caller keeps."""
+        self._free(self._step_ids)
+        self._step_ids = self._deferred
+        self._deferred = set()
+
     def close(self, keep_last: bool = True) -> None:
         """Free static checkpoints, any deferred prior-step blocks, and
         (unless ``keep_last``) the final step's. Call after the last
