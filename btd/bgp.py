@@ -77,12 +77,18 @@ class _Compiled:
         columns: Sequence[str] = _POSITIONS,
         path_max_hops: int = 3,
     ):
-        if len(pattern) != 3:
+        if len(pattern) not in (3, len(columns)):
             raise ValueError(
-                f"pattern {pattern!r} must be a (subj, pred, obj) triple"
+                f"pattern {pattern!r} must have 3 terms (s, p, o) or "
+                f"{len(columns)} (one per column, quad form)"
             )
         pred = pattern[1]
         if not _is_var(pred) and pred.endswith("+") and len(pred) > 1:
+            if len(pattern) != 3:
+                raise ValueError(
+                    f"path pattern {pattern!r} must be a 3-term triple; "
+                    "scope the graph by pre-filtering the quads frame"
+                )
             self._compile_path(triples, pattern, idx, columns, path_max_hops)
             return
         conds = []
@@ -143,7 +149,7 @@ class _Compiled:
                 "<p>+ is one-or-more; there is no zero-hop closure)"
             )
         s_term, pred, o_term = pattern
-        scol, pcol, ocol = columns
+        scol, pcol, ocol = columns[:3]
         base = triples.where(F.col(pcol) == F.lit(pred[:-1])).select(
             F.col(scol).alias("_s"), F.col(ocol).alias("_n")
         )
@@ -240,7 +246,13 @@ def bgp_match(
 
     ``columns`` renames the (subject, predicate, object) positions for
     triple tables with a different schema — e.g. the reference's
-    n-quad table uses ``("subject", "predicate", "object")``.
+    n-quad table uses ``("subject", "predicate", "object")``. Passing
+    FOUR names enables quad patterns (SPARQL GRAPH scoping): a 4-term
+    pattern binds or constrains the graph/context position too, while
+    3-term patterns leave it unconstrained. A bound graph term counts
+    toward selectivity like any constant (a (p, g)-bound slice
+    broadcasts). Property-path patterns stay 3-term — scope the graph
+    by pre-filtering the quads frame.
 
     Each pattern slice scans ``triples`` once. Over a parquet/Iceberg
     triple table that is the right plan (constant predicates prune and
@@ -256,10 +268,11 @@ def bgp_match(
     themselves end in ``+`` would collide with this syntax; escape by
     pre-filtering the triples frame instead of using a constant term.
     """
-    if len(columns) != 3:
+    if len(columns) not in (3, 4):
         raise ValueError(
-            f"columns must name exactly (subject, predicate, object) "
-            f"positions, got {tuple(columns)!r}"
+            f"columns must name (subject, predicate, object) or "
+            f"(subject, predicate, object, graph) positions, "
+            f"got {tuple(columns)!r}"
         )
     mk = lambda ps: [  # noqa: E731
         _Compiled(triples, p, i, columns, path_max_hops)

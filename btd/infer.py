@@ -62,6 +62,10 @@ def construct(
     optional patterns of ``where``) or constants. Returns a distinct
     triple frame with the same ``columns`` schema as the input, so
     constructed graphs union/join back against their source directly.
+    With a 4-column (quad) schema, a 3-term template emits into the
+    default graph (``''``, the reference's no-context encoding —
+    RDFStatement.java treats absent context as empty); a 4-term
+    template sets the graph term explicitly.
     """
     template = [tuple(t) for t in template]
     if not template:
@@ -72,10 +76,13 @@ def construct(
     bound = set(sol.columns)
     outs = []
     for t in template:
-        if len(t) != 3:
+        if len(t) not in (3, len(columns)):
             raise ValueError(
-                f"template {t!r} must be a (subj, pred, obj) triple"
+                f"template {t!r} must have 3 terms or one per column "
+                f"({len(columns)})"
             )
+        if len(t) < len(columns):
+            t = t + ("",) * (len(columns) - len(t))  # default graph
         sel = []
         for term, cname in zip(t, columns):
             if _is_var(term):

@@ -256,6 +256,73 @@ def test_path_bound_object_is_rooted_not_filtered(cyclic_kg):
     assert _set(out) == {("c",), ("e",)}
 
 
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("a", "p", "b", "g1"),
+        ("a", "p", "c", "g2"),
+        ("b", "q", "c", "g1"),
+        ("b", "q", "d", "g2"),
+        ("c", "q", "e", "g2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ctx string"
+    )
+    df.persist()
+    df.count()
+    return df
+
+
+def test_quad_pattern_binds_graph_variable(quads):
+    out = bgp_match(
+        quads,
+        [("?s", "p", "?o", "?g")],
+        columns=("subj", "pred", "obj", "ctx"),
+    )
+    assert out.columns == ["s", "o", "g"]
+    assert _set(out) == {("a", "b", "g1"), ("a", "c", "g2")}
+
+
+def test_quad_constant_graph_scopes_the_join(quads):
+    # both patterns scoped to g1: the g2 chain a->c, b->d must not leak
+    out = bgp_match(
+        quads,
+        [("?s", "p", "?o", "g1"), ("?o", "q", "?t", "g1")],
+        columns=("subj", "pred", "obj", "ctx"),
+    )
+    assert _set(out) == {("a", "b", "c")}
+
+
+def test_quad_shared_graph_variable_joins_within_graph(quads):
+    # SPARQL GRAPH ?g { ... }: both patterns in the SAME (any) graph
+    out = bgp_match(
+        quads,
+        [("?s", "p", "?o", "?g"), ("?o", "q", "?t", "?g")],
+        columns=("subj", "pred", "obj", "ctx"),
+    )
+    # g1: a-p->b, b-q->c; g2: a-p->c, c-q->e. The cross-graph chains
+    # (a->b with b-q->d in g2, a->c with b-q->d) must not appear.
+    assert _set(out) == {("a", "b", "g1", "c"), ("a", "c", "g2", "e")}
+
+
+def test_triple_pattern_over_quads_ignores_graph(quads):
+    out = bgp_match(
+        quads,
+        [("?s", "p", "?o")],
+        columns=("subj", "pred", "obj", "ctx"),
+    )
+    assert _set(out) == {("a", "b"), ("a", "c")}
+
+
+def test_quad_path_pattern_rejected(quads):
+    with pytest.raises(ValueError, match="path pattern"):
+        bgp_match(
+            quads,
+            [("?s", "p+", "?o", "g1")],
+            columns=("subj", "pred", "obj", "ctx"),
+        )
+
+
 def test_columns_arity_validated(kg):
     with pytest.raises(ValueError, match="columns"):
         bgp_match(
@@ -301,7 +368,7 @@ def test_ground_pattern_raises(kg):
 def test_bad_arity_and_empty_raise(kg):
     with pytest.raises(ValueError, match="at least one required"):
         bgp_match(kg, [])
-    with pytest.raises(ValueError, match="must be a"):
+    with pytest.raises(ValueError, match="must have 3 terms"):
         bgp_match(kg, [("?a", "?b")])
 
 
